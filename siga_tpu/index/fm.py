@@ -1,0 +1,183 @@
+"""FM-index: occ/rank tables and backward-search intervals.
+
+Semantics mirror the reference FMIndex (/root/reference/src/fmindex.h:57-155,
+src/fmindex.cpp:124-231): C(a) predecessor counts, occ(c, i) inclusive symbol
+counts with occ(c, -1) == 0 (the reference reaches this via size_t wraparound,
+src/fmindex.h:94-97), Interval init/update backward-search steps and ext()
+extension counts.
+
+Layout is ours, not the reference's: the on-disk `.bwt` RLE is decoded into a
+flat rank-code array plus cumulative checkpoint counts every SAMPLE symbols.
+A batched occ query is a checkpoint gather + masked tail reduce — the same
+data layout the device path uses (ops/search.py), so host and device answers
+are bit-identical.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from ..core import dna
+from ..io import bwtio
+
+SAMPLE = 128
+
+
+class FMIndex:
+    """Host FM-index over decoded BWT rank codes."""
+
+    def __init__(self, codes: np.ndarray, num_strings: int):
+        self.codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        self.num_strings = int(num_strings)
+        n = self.codes.size
+        self.length = n
+        nblocks = n // SAMPLE + 1
+        # checkpoints[j, c] = count of symbol c in codes[: j*SAMPLE]
+        onehot = np.zeros((nblocks, dna.ALL_SIZE), dtype=np.int64)
+        if n:
+            counts = np.zeros((n, dna.ALL_SIZE), dtype=np.int32)
+            counts[np.arange(n), self.codes] = 1
+            csum = np.cumsum(counts, axis=0, dtype=np.int64)
+            block_ends = np.arange(1, nblocks) * SAMPLE
+            onehot[1:] = csum[block_ends - 1]
+        self.checkpoints = onehot
+        totals = self.checkpoints[-1].copy()
+        if n:
+            tail = self.codes[(nblocks - 1) * SAMPLE :]
+            totals += np.bincount(tail, minlength=dna.ALL_SIZE)
+        self.totals = totals
+        # C(a): number of symbols strictly smaller than a
+        self.pred = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        codes, num_strings, _num_suffixes = bwtio.load_bwt(path)
+        return cls(codes, num_strings)
+
+    # ---- occ primitives (batched over arrays of positions) ----
+
+    def occ_all(self, i) -> np.ndarray:
+        """Inclusive counts of all 5 symbols up to position i; i may be -1.
+
+        i: int or int array; returns (..., 5) int64.
+        """
+        i = np.asarray(i, dtype=np.int64)
+        scalar = i.ndim == 0
+        i = np.atleast_1d(i)
+        pos = i + 1  # number of symbols counted
+        block = pos // SAMPLE
+        base = self.checkpoints[block]  # (Q, 5)
+        tail_start = block * SAMPLE
+        tail_len = pos - tail_start  # 0..SAMPLE
+        # gather tail codes: (Q, SAMPLE) with mask
+        offs = np.arange(SAMPLE, dtype=np.int64)
+        gidx = tail_start[:, None] + offs[None, :]
+        np.clip(gidx, 0, max(self.length - 1, 0), out=gidx)
+        gathered = self.codes[gidx] if self.length else np.zeros_like(gidx, dtype=np.uint8)
+        mask = offs[None, :] < tail_len[:, None]
+        out = base.copy()
+        for c in range(dna.ALL_SIZE):
+            out[:, c] += ((gathered == c) & mask).sum(axis=1)
+        return out[0] if scalar else out
+
+    def occ(self, c_rank: int, i) -> np.ndarray:
+        return self.occ_all(i)[..., c_rank]
+
+    def pc(self, c_rank: int) -> int:
+        return int(self.pred[c_rank])
+
+    def get_char(self, i: int) -> int:
+        """BWT symbol rank at position i."""
+        return int(self.codes[i])
+
+    def get_string(self, i: int) -> str:
+        """Reconstruct the read whose '$' sits at BWT position i by LF-walk
+        (reference FMIndex::getString, src/fmindex.cpp:292-313)."""
+        out = []
+        lo = i
+        while True:
+            c = int(self.codes[lo])
+            if c == 0:
+                break
+            out.append(dna.DNA_ALL[c])
+            lo = self.pc(c) + int(self.occ(c, lo - 1))
+        return "".join(reversed(out))
+
+    # ---- Interval ops ----
+
+    def interval_init(self, c_rank: int) -> Tuple[int, int]:
+        lo = self.pc(c_rank)
+        hi = lo + int(self.totals[c_rank]) - 1
+        return lo, hi
+
+    def interval_update(self, c_rank: int, lo: int, hi: int) -> Tuple[int, int]:
+        pb = self.pc(c_rank)
+        nlo = pb + int(self.occ(c_rank, lo - 1))
+        nhi = pb + int(self.occ(c_rank, hi)) - 1
+        return nlo, nhi
+
+    def interval_ext(self, lo: int, hi: int) -> np.ndarray:
+        """AlphaCount of left extensions of the interval (occ(hi)-occ(lo-1))."""
+        return self.occ_all(hi) - self.occ_all(lo - 1)
+
+    def occurrences(self, w: str) -> int:
+        """Count exact matches of w (reference Interval::occurrences)."""
+        if not w:
+            return 0
+        ranks = dna.encode(w)
+        lo, hi = self.interval_init(int(ranks[-1]))
+        j = len(w) - 1
+        while j > 0 and lo <= hi:
+            j -= 1
+            lo, hi = self.interval_update(int(ranks[j]), lo, hi)
+        return hi - lo + 1 if lo <= hi else 0
+
+
+def valid(lo: int, hi: int) -> bool:
+    return hi >= lo and hi != -1
+
+
+class IntervalPair:
+    """Synchronized intervals in a forward+reverse FM-index pair enabling left
+    and right extension (reference IntervalPair,
+    src/overlap_builder.cpp:70-136).  Index 0 tracks the `index` argument,
+    index 1 its reverse-text twin."""
+
+    __slots__ = ("lo", "hi", "rlo", "rhi")
+
+    def __init__(self, lo=0, hi=-1, rlo=0, rhi=-1):
+        self.lo, self.hi, self.rlo, self.rhi = lo, hi, rlo, rhi
+
+    def copy(self) -> "IntervalPair":
+        return IntervalPair(self.lo, self.hi, self.rlo, self.rhi)
+
+    def valid(self) -> bool:
+        return valid(self.lo, self.hi) and valid(self.rlo, self.rhi)
+
+    def init(self, c_rank: int, index: FMIndex, rindex: FMIndex) -> None:
+        self.lo, self.hi = index.interval_init(c_rank)
+        self.rlo, self.rhi = rindex.interval_init(c_rank)
+
+    def update_left(self, c_rank: int, index: FMIndex) -> None:
+        l = index.occ_all(self.lo - 1)
+        u = index.occ_all(self.hi)
+        diff = u - l
+        self.rlo = self.rlo + int(diff[:c_rank].sum())
+        self.rhi = self.rlo + int(diff[c_rank]) - 1
+        pb = index.pc(c_rank)
+        self.lo = pb + int(l[c_rank])
+        self.hi = pb + int(u[c_rank]) - 1
+
+    def update_right(self, c_rank: int, rindex: FMIndex) -> None:
+        l = rindex.occ_all(self.rlo - 1)
+        u = rindex.occ_all(self.rhi)
+        diff = u - l
+        self.lo = self.lo + int(diff[:c_rank].sum())
+        self.hi = self.lo + int(diff[c_rank]) - 1
+        pb = rindex.pc(c_rank)
+        self.rlo = pb + int(l[c_rank])
+        self.rhi = pb + int(u[c_rank]) - 1
+
+    def ext_right(self, rindex: FMIndex) -> np.ndarray:
+        return rindex.interval_ext(self.rlo, self.rhi)

@@ -1,0 +1,234 @@
+"""FASTA/FASTQ sequences and readers/writers.
+
+Byte-compatible with the reference reader/writer semantics
+(/root/reference/src/kseq.cpp): format sniffed from the first byte (`@` FASTQ,
+`>` FASTA), strict 4-line FASTQ with `+[name]` separator validation, multi-line
+FASTA accumulation, and the exact output layout of `operator<<(DNASeq)`
+(FASTA when no quality, 4-line FASTQ with a bare `+` otherwise).  Transparent
+.gz/.bz2 streams chosen by filename extension (src/utils.cpp:97-126).
+"""
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import IO, Iterable, Iterator, List, Optional, Tuple
+
+from ..constants import BZIP_EXT, GZIP_EXT
+from ..core import dna
+
+
+def xopen(path: str, mode: str = "rt") -> IO:
+    """Open a file with transparent gzip/bzip2 (by extension)."""
+    if path.endswith(GZIP_EXT):
+        return gzip.open(path, mode)
+    if path.endswith(BZIP_EXT):
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
+def stem(path: str) -> str:
+    """Strip .gz/.bz2 then one extension (reference Utils::stem)."""
+    if path.endswith(GZIP_EXT):
+        return stem(path[: -len(GZIP_EXT)])
+    if path.endswith(BZIP_EXT):
+        return stem(path[: -len(BZIP_EXT)])
+    base = os.path.basename(path)
+    root, _ext = os.path.splitext(base)
+    return root
+
+
+def split_name(raw: str) -> Tuple[str, str]:
+    """Split a header at the first space/tab into (name, comment)."""
+    for i, ch in enumerate(raw):
+        if ch in " \t":
+            return raw[:i], raw[i + 1 :]
+    return raw, ""
+
+
+@dataclass
+class DNASeq:
+    name: str = ""
+    seq: str = ""
+    quality: str = ""
+    comment: str = ""
+
+    @classmethod
+    def make(cls, header: str, seq: str, quality: str = "") -> "DNASeq":
+        name, comment = split_name(header)
+        return cls(name=name, seq=seq, quality=quality, comment=comment)
+
+    def score(self, i: int) -> int:
+        if self.quality:
+            return ord(self.quality[i]) - 33
+        return 15  # Quality::Phred::DEFAULT_SCORE
+
+    def make_reverse(self) -> None:
+        self.seq = self.seq[::-1]
+        if self.quality:
+            self.quality = self.quality[::-1]
+
+    def make_complement(self) -> None:
+        self.seq = dna.complement(self.seq)
+
+    def make_reverse_complement(self) -> None:
+        self.make_complement()
+        self.make_reverse()
+
+    def format(self) -> str:
+        """Exact output layout of the reference operator<<(DNASeq)."""
+        header = self.name if not self.comment else f"{self.name} {self.comment}"
+        if not self.quality:
+            return f">{header}\n{self.seq}\n"
+        return f"@{header}\n{self.seq}\n+\n{self.quality}\n"
+
+
+class FASTQReader:
+    def __init__(self, stream: IO):
+        self._stream = stream
+
+    def __iter__(self) -> Iterator[DNASeq]:
+        return self
+
+    def __next__(self) -> DNASeq:
+        rec = self.read()
+        if rec is None:
+            raise StopIteration
+        return rec
+
+    def read(self) -> Optional[DNASeq]:
+        K_NAME, K_SEQ, K_NAME2, K_QUAL = range(4)
+        state = K_NAME
+        name = seq = ""
+        for line in self._stream:
+            buf = line.strip()
+            if not buf:
+                continue
+            if state == K_NAME:
+                if not buf.startswith("@"):
+                    return None
+                name = buf[1:]
+                state = K_SEQ
+            elif state == K_SEQ:
+                seq = buf
+                state = K_NAME2
+            elif state == K_NAME2:
+                if buf.startswith("+") and (len(buf) == 1 or buf.endswith(name)):
+                    state = K_QUAL
+                else:
+                    return None
+            elif state == K_QUAL:
+                if len(buf) != len(seq):
+                    return None
+                rec = DNASeq()
+                rec.name, rec.comment = split_name(name)
+                rec.seq = seq
+                rec.quality = buf
+                return rec
+        return None
+
+
+class FASTAReader:
+    def __init__(self, stream: IO):
+        self._stream = stream
+        self._name: Optional[str] = None
+
+    def __iter__(self) -> Iterator[DNASeq]:
+        return self
+
+    def __next__(self) -> DNASeq:
+        rec = self.read()
+        if rec is None:
+            raise StopIteration
+        return rec
+
+    def read(self) -> Optional[DNASeq]:
+        seq_parts: List[str] = []
+        for line in self._stream:
+            buf = line.strip()
+            if not buf:
+                continue
+            if buf.startswith(">"):
+                if seq_parts and self._name is not None:
+                    rec = DNASeq()
+                    rec.name, rec.comment = split_name(self._name)
+                    rec.seq = "".join(seq_parts)
+                    self._name = buf[1:]
+                    return rec
+                if self._name is not None:
+                    return None  # two headers with no sequence between
+                self._name = buf[1:]
+            else:
+                seq_parts.append(buf)
+        if seq_parts and self._name is not None:
+            rec = DNASeq()
+            rec.name, rec.comment = split_name(self._name)
+            rec.seq = "".join(seq_parts)
+            self._name = None
+            return rec
+        return None
+
+
+def make_reader(stream: IO):
+    """Sniff the format from the first byte (reference DNASeqReaderFactory)."""
+    pos = stream.tell()
+    first = stream.read(1)
+    stream.seek(pos)
+    if first == "@":
+        return FASTQReader(stream)
+    if first == ">":
+        return FASTAReader(stream)
+    return None
+
+
+def open_reader(path: str):
+    stream = xopen(path, "rt")
+    reader = make_reader(stream)
+    if reader is None:
+        stream.close()
+        raise ValueError(f"cannot determine sequence format of {path}")
+    return reader
+
+
+def read_sequences(
+    path_or_stream,
+    with_quality: bool = True,
+    with_comment: bool = True,
+) -> List[DNASeq]:
+    """Bulk loader (reference ReadDNASequences, src/kseq.cpp:230-257)."""
+    if isinstance(path_or_stream, str):
+        reader = open_reader(path_or_stream)
+    else:
+        reader = make_reader(path_or_stream)
+        if reader is None:
+            raise ValueError("cannot determine sequence format")
+    out = []
+    for rec in reader:
+        if not with_quality:
+            rec.quality = ""
+        if not with_comment:
+            rec.comment = ""
+        out.append(rec)
+    return out
+
+
+def write_sequences(path_or_stream, records: Iterable[DNASeq]) -> None:
+    if isinstance(path_or_stream, str):
+        with xopen(path_or_stream, "wt") as out:
+            for rec in records:
+                out.write(rec.format())
+    else:
+        for rec in records:
+            path_or_stream.write(rec.format())
+
+
+def pairend_id(name: str) -> str:
+    """Flip a /1<->/2, /A<->/B, /f<->/r pair suffix (src/reads.cpp:19-41)."""
+    assert name
+    last = name[-1]
+    flip = {"A": "B", "B": "A", "1": "2", "2": "1", "f": "r", "r": "f"}
+    if last in flip:
+        return name[:-1] + flip[last]
+    return ""
