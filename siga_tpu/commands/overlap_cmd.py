@@ -1,0 +1,126 @@
+"""`siga overlap` — compute pairwise overlaps, emit ASQG.
+
+Pipeline mirrors /root/reference/src/overlap.cpp + overlap_builder.cpp:423-483:
+ASQG header, per-read overlap blocks streamed to hits shard files
+({prefix}-thread{i}.hits.gz), VT records in read order (propagating BX/CR/EX
+tags from comments), then hits -> ED records via the .sai/.rsai permutations.
+
+The per-thread hits files of the reference map to per-device shards here; the
+default single shard reproduces a single-thread reference run ordering.
+"""
+from __future__ import annotations
+
+import gzip
+import sys
+from typing import List
+
+from ..constants import ASQG_EXT, BWT_EXT, GZIP_EXT, HITS_EXT, RBWT_EXT, RSAI_EXT, SAI_EXT
+from ..index.fm import FMIndex
+from ..io import asqg, fastx, sai as sai_mod
+from ..overlap.builder import Hit, HitConverter, OverlapBuilder
+
+
+def write_vertex_record(out, rec: fastx.DNASeq, substring: bool) -> None:
+    record = asqg.VertexRecord(id=rec.name, seq=rec.seq, substring=1 if substring else 0)
+    if rec.comment:
+        for token in rec.comment.split(" "):
+            if token.startswith(asqg.BARCODE_TAG):
+                kv = asqg.parse_tag(token)
+                if kv:
+                    record.barcode = kv[1]
+            elif token.startswith(asqg.COVERAGE_TAG):
+                kv = asqg.parse_tag(token)
+                if kv:
+                    record.coverage = kv[1]
+            elif token.startswith(asqg.EXTENSION_TAG):
+                kv = asqg.parse_tag(token)
+                if kv:
+                    record.ext = kv[1]
+    out.write(record.format() + "\n")
+
+
+def build_overlaps(
+    input_path: str,
+    prefix: str,
+    output_path: str,
+    min_overlap: int,
+    irreducible: bool = True,
+    rc: bool = True,
+    shards: int = 1,
+    engine: str = "auto",
+) -> bool:
+    fmi = FMIndex.load(prefix + BWT_EXT)
+    rfmi = FMIndex.load(prefix + RBWT_EXT)
+    builder = OverlapBuilder(fmi, rfmi, prefix, irreducible=irreducible, rc=rc)
+
+    records = fastx.read_sequences(input_path)
+    names = [r.name for r in records]
+    lengths = [len(r.seq) for r in records]
+
+    out = fastx.xopen(output_path, "wt")
+    header = asqg.HeaderRecord(overlap=min_overlap, containment=1, infile=input_path)
+    out.write(header.format() + "\n")
+
+    hit_paths = [
+        f"{prefix}-thread{i}{HITS_EXT}{GZIP_EXT}" for i in range(max(1, shards))
+    ]
+    hit_files = [gzip.open(p, "wt") for p in hit_paths]
+
+    if engine in ("auto", "tpu"):
+        from ..ops.search import batch_overlap_hits
+
+        hits_iter = batch_overlap_hits(builder, records, min_overlap)
+    else:
+        hits_iter = _host_hits(builder, records, min_overlap)
+
+    try:
+        for idx, (rec, hit) in enumerate(zip(records, hits_iter)):
+            hit_files[idx % len(hit_files)].write(hit.serialize() + "\n")
+            write_vertex_record(out, rec, hit.substring)
+    finally:
+        for f in hit_files:
+            f.close()
+
+    sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)
+    rsa_perm, _ = sai_mod.load_sai(prefix + RSAI_EXT)
+    converter = HitConverter(sa_perm, rsa_perm, names, lengths)
+    for path in hit_paths:
+        with gzip.open(path, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                hit = Hit.deserialize(line)
+                overlaps, _n = converter.convert(hit)
+                for o in overlaps:
+                    out.write(asqg.EdgeRecord(overlap=o).format() + "\n")
+    out.close()
+    return True
+
+
+def _host_hits(builder: OverlapBuilder, records, min_overlap: int):
+    for idx, rec in enumerate(records):
+        hit = Hit(idx=idx)
+        result = builder.overlap(rec.seq, min_overlap, hit.blocks)
+        hit.substring = result.substring
+        yield hit
+
+
+def run(opts: dict, arguments: List[str]) -> int:
+    if len(arguments) != 1:
+        print("usage: siga overlap [OPTION] ... READSFILE", file=sys.stderr)
+        return 256
+    input_path = arguments[0]
+    prefix = opts.get("prefix") or fastx.stem(input_path)
+    output = prefix + ASQG_EXT + GZIP_EXT
+    ok = build_overlaps(
+        input_path,
+        prefix,
+        output,
+        min_overlap=int(opts.get("min-overlap", 10)),
+        irreducible=not opts.get("exhaustive"),
+        rc=not opts.get("no-opposite-strand"),
+        shards=int(opts.get("threads", 1)),
+        engine=str(opts.get("engine", "auto")),
+    )
+    return 0 if ok else 255

@@ -1,0 +1,174 @@
+"""Device (JAX) FM-index: HBM-resident BWT codes + checkpoint occ tables.
+
+The layout matches the host FMIndex (index/fm.py) bit-for-bit: codes as uint8
+rank symbols, cumulative checkpoint counts every SAMPLE symbols, C array.  A
+batched occ query is a checkpoint gather + masked tail reduce, one lane per
+query — the shape XLA tiles well on TPU (gathers of SAMPLE-wide blocks,
+VPU compare+sum).  All interval arithmetic is int32 (indices < 2^31).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fm import SAMPLE, FMIndex
+
+
+class DeviceFM:
+    """Immutable device mirror of a host FMIndex."""
+
+    def __init__(self, host: FMIndex):
+        self.length = host.length
+        self.num_strings = host.num_strings
+        self.codes = jnp.asarray(host.codes, dtype=jnp.uint8)
+        self.checkpoints = jnp.asarray(host.checkpoints, dtype=jnp.int32)
+        self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
+        self.totals = jnp.asarray(host.totals, dtype=jnp.int32)
+
+    def tree(self):
+        return (self.codes, self.checkpoints, self.pred, jnp.int32(self.length))
+
+
+def occ_all(codes, checkpoints, length, i):
+    """Batched inclusive occ counts: i int32 [...], -> [..., 5] int32.
+
+    occ(c, -1) == 0 by construction (pos=0 -> empty tail, checkpoint 0).
+    """
+    pos = i + 1
+    block = pos // SAMPLE
+    base = checkpoints[block]
+    offs = jnp.arange(SAMPLE, dtype=jnp.int32)
+    gidx = block[..., None] * SAMPLE + offs
+    g = codes[jnp.clip(gidx, 0, jnp.maximum(length - 1, 0))]
+    mask = offs < (pos - block * SAMPLE)[..., None]
+    counts = [
+        jnp.sum((g == c) & mask, axis=-1, dtype=jnp.int32) for c in range(5)
+    ]
+    return base + jnp.stack(counts, axis=-1)
+
+
+def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
+    """IntervalPair.updateL with precomputed occ counts at lo-1 and hi.
+
+    c: int32 [...] symbol rank.  Returns (lo, hi, rlo, rhi) after prepending c.
+    Mirrors src/overlap_builder.cpp:112-122.
+    """
+    diff = u_counts - l_counts  # [..., 5]
+    # prefix-sum of diff below rank c
+    ranks = jnp.arange(5, dtype=jnp.int32)
+    below = jnp.sum(jnp.where(ranks < c[..., None], diff, 0), axis=-1)
+    dc = jnp.take_along_axis(diff, c[..., None], axis=-1)[..., 0]
+    lc = jnp.take_along_axis(l_counts, c[..., None], axis=-1)[..., 0]
+    uc = jnp.take_along_axis(u_counts, c[..., None], axis=-1)[..., 0]
+    nrlo = rlo + below
+    nrhi = nrlo + dc - 1
+    pb = pred[c]
+    nlo = pb + lc
+    nhi = pb + uc - 1
+    return nlo, nhi, nrlo, nrhi
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, lens):
+    """Backward-search scan with '$'-probes over a batch of lanes.
+
+    chars: int32 [L, T] update symbols (chars[:, t] = seq[l-2-t], garbage when
+      t >= l-1); lens: int32 [L] read lengths.
+    Returns per-step probe/raw intervals + validity and the final full-length
+    interval state per lane.
+    """
+    num_lanes = chars.shape[0]
+
+    def occ(i):
+        return occ_all(codes, checkpoints, length, i)
+
+    # init with the last character of each read: interval over all of fmi
+    c0 = chars[:, max_t]  # by construction chars[:, T] holds seq[l-1]
+    lo0 = pred[c0]
+    # totals = checkpoints-based full counts via occ(length-1)
+    full = occ(jnp.full((num_lanes,), length - 1, dtype=jnp.int32))
+    hi0 = lo0 + jnp.take_along_axis(full, c0[..., None], axis=-1)[..., 0] - 1
+    state0 = (lo0, hi0, lo0, hi0)
+
+    def step(state, t):
+        lo, hi, rlo, rhi = state
+        l_counts = occ(lo - 1)
+        u_counts = occ(hi)
+        # probe: extend left with '$' (rank 0)
+        zeros = jnp.zeros_like(lo)
+        plo, phi, prlo, prhi = update_left_core(
+            lo, hi, rlo, rhi, zeros, l_counts, u_counts, pred
+        )
+        probe_valid = (prhi >= prlo) & (prhi >= 0)
+        active = t <= lens - 2
+        overlap_len = t + 1
+        emit_valid = probe_valid & active & (overlap_len >= min_overlap)
+        emitted = jnp.stack([plo, phi, prlo, prhi, lo, hi, rlo, rhi], axis=-1)
+        # update with the actual character
+        c = chars[:, t]
+        nlo, nhi, nrlo, nrhi = update_left_core(
+            lo, hi, rlo, rhi, c, l_counts, u_counts, pred
+        )
+        new_state = (
+            jnp.where(active, nlo, lo),
+            jnp.where(active, nhi, hi),
+            jnp.where(active, nrlo, rlo),
+            jnp.where(active, nrhi, rhi),
+        )
+        return new_state, (emitted, emit_valid)
+
+    final_state, (emitted, valid) = jax.lax.scan(
+        step, state0, jnp.arange(max_t, dtype=jnp.int32)
+    )
+    flo, fhi, frlo, frhi = final_state
+    # containment classification on the full-length interval
+    l_counts = occ(flo - 1)
+    u_counts = occ(fhi)
+    lext = u_counts - l_counts
+    zeros = jnp.zeros_like(flo)
+    plo, phi, prlo, prhi = update_left_core(
+        flo, fhi, frlo, frhi, zeros, l_counts, u_counts, pred
+    )
+    final = jnp.stack([flo, fhi, frlo, frhi, plo, phi, prlo, prhi], axis=-1)
+    return emitted, valid, final, lext
+
+
+class StageAScanner:
+    """Runs the stage-A scan for one (index, rindex) orientation pair."""
+
+    def __init__(self, dfm: DeviceFM):
+        self.dfm = dfm
+
+    def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
+        """seqs_ranks: int32 [L, maxlen] rank codes (left-aligned);
+        lens: [L].  Returns host numpy (emitted, valid, final, lext)."""
+        num_lanes, maxlen = seqs_ranks.shape
+        max_t = maxlen - 1
+        # chars[:, t] = seq[l-2-t] for t < l-1; chars[:, max_t] = seq[l-1]
+        chars = np.zeros((num_lanes, max_t + 1), dtype=np.int32)
+        for c_t in range(max_t):
+            idx = lens - 2 - c_t
+            ok = idx >= 0
+            chars[ok, c_t] = seqs_ranks[ok, idx[ok]]
+        chars[np.arange(num_lanes), max_t] = seqs_ranks[
+            np.arange(num_lanes), lens - 1
+        ]
+        emitted, valid, final, lext = _scan_stage_a(
+            max_t,
+            min_overlap,
+            self.dfm.codes,
+            self.dfm.checkpoints,
+            self.dfm.pred,
+            jnp.int32(self.dfm.length),
+            jnp.asarray(chars),
+            jnp.asarray(lens.astype(np.int32)),
+        )
+        return (
+            np.asarray(emitted),
+            np.asarray(valid),
+            np.asarray(final),
+            np.asarray(lext),
+        )

@@ -63,3 +63,63 @@ def naive_occurrences(seqs: Sequence[str], w: str) -> int:
 def revcomp(s: str) -> str:
     m = {"A": "T", "C": "G", "G": "C", "T": "A"}
     return "".join(m[c] for c in reversed(s))
+
+
+def expected_exhaustive_edges(named_reads, min_overlap, rc=True):
+    """Brute-force the exhaustive-mode ED record strings.
+
+    Per (query, target, orientation-class) only the longest overlap length
+    survives (the submaximal filter keeps the longest per SA row); emission
+    follows the converter's dedup rule: skip when id1 < id2 or (containment
+    and query-reversed).  Assumes no read is a strict substring of another.
+    """
+    out = []
+    items = list(named_reads.items())
+    for qn, q in items:
+        for tn, t in items:
+            if tn == qn:
+                continue
+            lq, lt = len(q), len(t)
+            # class -> (condition(o), qr)
+            classes = [
+                ("SP", lambda o: q[lq - o :] == t[:o], False),
+                ("PS", lambda o: q[:o] == t[lt - o :], True),
+            ]
+            if rc:
+                classes += [
+                    ("PP", lambda o: revcomp(q[:o]) == t[:o], True),
+                    ("SS", lambda o: revcomp(q[lq - o :]) == t[lt - o :], False),
+                ]
+            for cls, cond, qr in classes:
+                omax = 0
+                for o in range(min_overlap, min(lq - 1, lt) + 1):
+                    if cond(o):
+                        omax = o
+                if not omax:
+                    continue
+                o = omax
+                if cls == "SP":
+                    c1 = (lq - o, lq - 1, lq)
+                    c2 = (0, o - 1, lt)
+                    is_rc = 0
+                elif cls == "PP":
+                    c1 = (0, o - 1, lq)
+                    c2 = (0, o - 1, lt)
+                    is_rc = 1
+                elif cls == "PS":
+                    c1 = (0, o - 1, lq)
+                    c2 = (lt - o, lt - 1, lt)
+                    is_rc = 0
+                else:  # SS
+                    c1 = (lq - o, lq - 1, lq)
+                    c2 = (lt - o, lt - 1, lt)
+                    is_rc = 1
+                contained = (c1[0] == 0 and c1[1] + 1 == lq) or (
+                    c2[0] == 0 and c2[1] + 1 == lt
+                )
+                if qn < tn or (contained and qr):
+                    continue
+                out.append(
+                    f"{qn} {tn} {c1[0]} {c1[1]} {c1[2]} {c2[0]} {c2[1]} {c2[2]} {is_rc} 0"
+                )
+    return sorted(out)
