@@ -1,0 +1,736 @@
+"""Graph cleaning passes (reference bigraph_visitors,
+/root/reference/src/bigraph_visitors.h/.cpp).
+
+Implemented: EdgeColor, Chimeric, ContainRemove, Fasta, IdenticalRemove,
+LoopRemove, MaximumOverlap, InsertSizeEstimate, PairedRead, LinkedRead,
+Statistics, Trim; Smoothing and TransitiveReduction remain stubs exactly like
+the reference (src/bigraph_visitors.cpp:1023-1036, 1084-1093).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Tuple
+
+from ..core.coord import Overlap, SeqCoord
+from ..io import asqg, fastx
+from . import search
+from .bigraph import (
+    EC_REVERSE,
+    EC_SAME,
+    ED_ANTISENSE,
+    ED_COUNT,
+    ED_SENSE,
+    GC_BLACK,
+    GC_GRAY,
+    GC_GREEN,
+    GC_NONE,
+    GC_RED,
+    GC_WHITE,
+    Bigraph,
+    Edge,
+    EdgeCreator,
+    Vertex,
+)
+
+
+def repeatness(vertex: Vertex, n: int, g: int) -> float:
+    delta = float(len(vertex.seq))
+    k = float(vertex.coverage)
+    return delta * n / g - k * math.log(2.0)
+
+
+def point_avg(c: int, l: int) -> float:
+    return float(max(c, 1) - 1) / max(l, 1)
+
+
+def vertex_avg(vertex: Vertex) -> float:
+    return point_avg(vertex.coverage, len(vertex.seq))
+
+
+class BigraphVisitor:
+    def previsit(self, graph: Bigraph) -> None:
+        pass
+
+    def visit(self, graph: Bigraph, vertex: Vertex) -> bool:
+        return False
+
+    def postvisit(self, graph: Bigraph) -> None:
+        pass
+
+
+class EdgeColorVisitor(BigraphVisitor):
+    def __init__(
+        self,
+        color: int,
+        edge_filter: Optional[Callable[[Vertex, Edge], bool]] = None,
+        twin: bool = False,
+    ):
+        self.color = color
+        self.filter = edge_filter
+        self.twin = twin
+
+    def visit(self, graph, vertex):
+        modified = False
+        for edge in vertex.edges:
+            if self.filter is None or self.filter(vertex, edge):
+                edge.color = self.color
+                if self.twin:
+                    edge.twin.color = self.color
+                modified = True
+        return modified
+
+
+class StatisticsVisitor(BigraphVisitor):
+    def previsit(self, graph):
+        self.terminal = self.island = self.monobranch = 0
+        self.dibranch = self.simple = self.edges = self.vertices = 0
+
+    def visit(self, graph, vertex):
+        f = vertex.degrees(ED_SENSE)
+        r = vertex.degrees(ED_ANTISENSE)
+        if f == 0 and r == 0:
+            self.island += 1
+        elif f == 0 or r == 0:
+            self.terminal += 1
+        if f > 1 and r > 1:
+            self.dibranch += 1
+        elif f > 1 or r > 1:
+            self.monobranch += 1
+        if f == 1 or r == 1:
+            self.simple += 1
+        self.edges += f + r
+        self.vertices += 1
+        return False
+
+    def postvisit(self, graph):
+        import sys
+
+        print(
+            f"[StatisticsVisitor] Vertices: {self.vertices} Edges: {self.edges} "
+            f"Islands: {self.island} Tips: {self.terminal} "
+            f"Monobranch: {self.monobranch} Dibranch: {self.dibranch} "
+            f"Simple: {self.simple}",
+            file=sys.stderr,
+        )
+
+
+class TrimVisitor(BigraphVisitor):
+    """Remove short islands and dead-end tips with low coverage-per-base
+    (src/bigraph_visitors.cpp:1119-1161)."""
+
+    def __init__(self, min_length: int = 150, min_coverage: int = -1):
+        self.min_length = min_length
+        self.min_coverage = min_coverage if min_coverage >= 0 else (1 << 62)
+
+    def previsit(self, graph):
+        self.island = 0
+        self.terminal = 0
+        graph.color(GC_WHITE)
+
+    def visit(self, graph, vertex):
+        modified = False
+        seq = vertex.seq
+        threshold = point_avg(self.min_coverage, self.min_length)
+        if vertex.degrees() == 0:
+            if len(seq) <= self.min_length and vertex_avg(vertex) <= threshold:
+                vertex.color = GC_BLACK
+                self.island += 1
+                modified = True
+        else:
+            for dir in (ED_SENSE, ED_ANTISENSE):
+                if (
+                    vertex.degrees(dir) == 0
+                    and len(seq) <= self.min_length
+                    and vertex_avg(vertex) <= threshold
+                ):
+                    vertex.color = GC_BLACK
+                    self.terminal += 1
+                    modified = True
+                    break
+        return modified
+
+    def postvisit(self, graph):
+        graph.sweep_vertices(GC_BLACK)
+
+
+class ContainRemoveVisitor(BigraphVisitor):
+    def previsit(self, graph):
+        graph.color(GC_WHITE)
+        graph.containment = False
+        self.contained = 0
+
+    def visit(self, graph, vertex):
+        if vertex.contained:
+            for edge in list(vertex.edges):
+                edge.color = GC_NONE
+                end = edge.end
+                if edge.twin in end.edges:
+                    end.remove_edge(edge.twin)
+                vertex.remove_edge(edge)
+            vertex.color = GC_BLACK
+            self.contained += 1
+            return True
+        return False
+
+    def postvisit(self, graph):
+        graph.sweep_vertices(GC_BLACK)
+
+
+class IdenticalRemoveVisitor(BigraphVisitor):
+    def previsit(self, graph):
+        graph.color(GC_WHITE)
+        self.count = 0
+
+    def visit(self, graph, vertex):
+        if vertex.contained:
+            for edge in vertex.edges:
+                other = edge.end
+                if len(vertex.seq) != len(other.seq):
+                    continue
+                ovr = Overlap(edge.start().id, edge.end.id, edge.match())
+                if not ovr.is_containment() or ovr.contained_idx() != 0:
+                    continue
+                if vertex.seq == other.seq:
+                    vertex.color = GC_BLACK
+                    self.count += 1
+                    break
+        return False
+
+    def postvisit(self, graph):
+        graph.sweep_vertices(GC_BLACK)
+
+
+class FastaVisitor(BigraphVisitor):
+    def __init__(self, stream):
+        self.stream = stream
+
+    def visit(self, graph, vertex):
+        rec = fastx.DNASeq(name=vertex.id, seq=vertex.seq)
+        comment = []
+        if vertex.coverage > 1:
+            comment.append(f"{asqg.COVERAGE_TAG}:i:{vertex.coverage}")
+        index = vertex.index_str()
+        if index:
+            comment.append(f"{asqg.BARCODE_TAG}:Z:{index}")
+        ext = vertex.ext_str()
+        if ext:
+            comment.append(f"{asqg.EXTENSION_TAG}:Z:{ext}")
+        rec.comment = " ".join(comment)
+        self.stream.write(rec.format())
+        return False
+
+
+class LoopRemoveVisitor(BigraphVisitor):
+    """Unroll R2->R4->R2 loops by double merge
+    (src/bigraph_visitors.cpp:318-405)."""
+
+    def previsit(self, graph):
+        self.loops: List[Vertex] = []
+
+    def visit(self, graph, vertex):
+        if vertex.degrees(ED_SENSE) == 1 and vertex.degrees(ED_ANTISENSE) == 1:
+            prev_edge = vertex.edges_dir(ED_ANTISENSE)[0]
+            next_edge = vertex.edges_dir(ED_SENSE)[0]
+            if (
+                not prev_edge.is_self()
+                and not next_edge.is_self()
+                and prev_edge.end is next_edge.end
+            ):
+                self.loops.append(vertex)
+                return True
+        return False
+
+    def postvisit(self, graph):
+        for vertex in self.loops:
+            assert vertex.degrees(ED_SENSE) == 1 and vertex.degrees(ED_ANTISENSE) == 1
+            prev_edge = vertex.edges_dir(ED_ANTISENSE)[0]
+            next_edge = vertex.edges_dir(ED_SENSE)[0]
+            prev_vert = prev_edge.end
+            next_vert = next_edge.end
+            assert prev_vert is next_vert
+
+            next_twin = next_edge.twin
+            vertex.merge(next_edge)
+            vertex.remove_edge(next_edge)
+            next_vert.remove_edge(next_twin)
+
+            prev_twin = prev_edge.twin
+            label = prev_twin.label()
+            prepend = prev_twin.dir == ED_ANTISENSE
+            prev_vert.merge(prev_twin)
+            for trans in prev_vert.edges_dir(ED_COUNT - prev_edge.dir - 1):
+                if trans is not prev_twin and not prepend:
+                    trans.coord.offset(len(label))
+            prev_vert.remove_edge(prev_twin)
+            vertex.remove_edge(prev_edge)
+            graph.remove_vertex(vertex)
+
+
+class MaximumOverlapVisitor(BigraphVisitor):
+    """Yu Lin's maximum-overlap-graph reduction
+    (src/bigraph_visitors.cpp:410-512)."""
+
+    def __init__(
+        self,
+        delta: int = 0,
+        carefully: bool = False,
+        n: int = 0,
+        g: int = 0,
+        t: float = 13.0,
+    ):
+        self.delta = delta
+        self.carefully = carefully
+        self.n = n
+        self.g = g
+        self.t = t
+
+    def previsit(self, graph):
+        assert not graph.containment, "graph must not have containments"
+        graph.visit(EdgeColorVisitor(GC_WHITE, twin=True))
+        self.dummys = 0
+
+    def visit(self, graph, vertex):
+        n = self.n if self.n > 0 else 1751447
+        g = self.g if self.g > 0 else 59128983
+        k = vertex.coverage
+        delta = len(vertex.seq)
+        score = (n - k) * (
+            math.log(g - delta) - math.log(g - 2 * delta if g > 2 * delta else 0.001)
+        ) - k * math.log(2.0)
+        if score < self.t:
+            return False
+
+        modified = False
+        for dir in (ED_SENSE, ED_ANTISENSE):
+            fwdlist = sorted(
+                vertex.edges_dir(dir), key=lambda e: -e.coord.length()
+            )
+            for j in range(1, len(fwdlist)):
+                if fwdlist[j].color == GC_BLACK:
+                    continue
+                if fwdlist[0].coord.length() - fwdlist[j].coord.length() < self.delta:
+                    continue
+                if self.carefully:
+                    if not fwdlist[j].is_self():
+                        # keep edges that are reciprocally maximal
+                        twin_dir = fwdlist[j].twin.dir
+                        revlist = [
+                            e
+                            for e in fwdlist[j].end.edges
+                            if twin_dir != (e.dir + 1) % ED_COUNT
+                        ]
+                        assert revlist
+                        revlist.sort(key=lambda e: -e.coord.length())
+                        largest = revlist[0].end is vertex
+                        for kk in range(1, len(revlist)):
+                            if largest:
+                                break
+                            if (
+                                revlist[0].coord.length() - revlist[kk].coord.length()
+                                < self.delta
+                            ):
+                                largest = revlist[kk].end is vertex
+                        if largest:
+                            continue
+                    elif fwdlist[0].is_self():
+                        continue
+                fwdlist[j].color = GC_BLACK
+                fwdlist[j].twin.color = GC_BLACK
+                self.dummys += 1
+                modified = True
+        return modified
+
+    def postvisit(self, graph):
+        graph.sweep_edges(GC_BLACK)
+
+
+class ChimericVisitor(BigraphVisitor):
+    """Remove short 1-in/1-out chimeric vertices
+    (src/bigraph_visitors.cpp:83-198)."""
+
+    def __init__(
+        self,
+        min_length: int = 0,
+        min_coverage: int = -1,
+        delta: int = -1,
+        n: int = 0,
+        g: int = 0,
+        t: float = 0.0,
+    ):
+        self.min_length = min_length
+        self.min_coverage = min_coverage if min_coverage >= 0 else (1 << 62)
+        self.delta = delta if delta >= 0 else (1 << 62)
+        self.n = n
+        self.g = g
+        self.t = t
+
+    def previsit(self, graph):
+        self.chimeric = 0
+        graph.color(GC_WHITE)
+
+    def visit(self, graph, vertex):
+        seq = vertex.seq
+        if not (
+            vertex.degrees(ED_SENSE) == 1
+            and vertex.degrees(ED_ANTISENSE) == 1
+            and len(seq) <= self.min_length
+            and vertex_avg(vertex) <= point_avg(self.min_coverage, self.min_length)
+        ):
+            return False
+        prev_edge = vertex.edges_dir(ED_ANTISENSE)[0]
+        next_edge = vertex.edges_dir(ED_SENSE)[0]
+        prev_vert = prev_edge.end
+        next_vert = next_edge.end
+
+        n = self.n if self.n > 0 else 1751447
+        g = self.g if self.g > 0 else 59128983
+
+        chimeric = prev_vert.degrees(ED_SENSE) >= 2
+        if chimeric:
+            chimeric &= next_vert.degrees(ED_ANTISENSE) >= 2
+
+        if chimeric:
+
+            def score_of(link_vert: Vertex) -> float:
+                k = link_vert.coverage
+                delta = len(link_vert.seq)
+                return (n - k) * (
+                    math.log(g - delta)
+                    - math.log(g - 2 * delta if g > 2 * delta else 0.001)
+                ) - k * math.log(2.0)
+
+            def smallest_length(edges: List[Edge]) -> bool:
+                for e in edges:
+                    if e.end.id == vertex.id:
+                        continue
+                    if len(e.end.seq) <= len(seq) + self.delta:
+                        return False
+                return True
+
+            def smallest_coverage(edges: List[Edge]) -> bool:
+                for e in edges:
+                    if e.end.id == vertex.id:
+                        continue
+                    if e.end.coverage <= vertex.coverage + 3:
+                        return False
+                return True
+
+            def smallest_new(edges: List[Edge], edge: Edge) -> bool:
+                if score_of(edge.end) < self.t:
+                    return False
+                return smallest_length(edges) or smallest_coverage(edges)
+
+            chimeric &= smallest_new(
+                prev_vert.edges_dir(ED_SENSE), prev_edge
+            ) or smallest_new(next_vert.edges_dir(ED_ANTISENSE), next_edge)
+
+        if chimeric:
+            vertex.color = GC_BLACK
+            self.chimeric += 1
+            return True
+        return False
+
+    def postvisit(self, graph):
+        graph.sweep_vertices(GC_BLACK)
+
+
+class SmoothingVisitor(BigraphVisitor):
+    """Bubble smoothing — stub, matching the reference
+    (src/bigraph_visitors.cpp:1023-1036)."""
+
+    def previsit(self, graph):
+        graph.color(GC_WHITE)
+
+    def postvisit(self, graph):
+        graph.sweep_vertices(GC_RED)
+
+
+class TransitiveReductionVisitor(BigraphVisitor):
+    """Myers transitive reduction — stub like the reference; irreducible
+    filtering is done FM-index-side in overlap
+    (src/bigraph_visitors.cpp:1084-1093)."""
+
+
+class LinkedReadVisitor(BigraphVisitor):
+    """10x linked reads: drop edges whose endpoint barcode sets share <= 1
+    fragment (src/bigraph_visitors.cpp:975-1018)."""
+
+    def __init__(self, min_length: int = 0, min_coverage: int = 0):
+        self.min_length = min_length
+        self.min_coverage = min_coverage
+
+    def previsit(self, graph):
+        graph.visit(EdgeColorVisitor(GC_WHITE))
+        self.dummys = 0
+
+    def visit(self, graph, vertex):
+        if len(vertex.seq) < self.min_length or vertex.coverage < self.min_coverage:
+            return False
+        barcodes1 = {b for b, _c in vertex.index_tbl}
+        for edge in vertex.edges:
+            fragment = sum(
+                1 for b, _c in edge.end.index_tbl if b in barcodes1
+            )
+            if fragment <= 1:
+                edge.color = GC_BLACK
+                edge.twin.color = GC_BLACK
+                self.dummys += 1
+        return False
+
+    def postvisit(self, graph):
+        graph.sweep_edges(GC_BLACK)
+
+
+class InsertSizeEstimateVisitor(BigraphVisitor):
+    """Walk unbranched chains tracking signed distances; sample per-pair
+    |pos1-pos2| (src/bigraph_visitors.cpp:517-663)."""
+
+    def __init__(self):
+        self.average = 0
+        self.delta = 0
+
+    def previsit(self, graph):
+        graph.color(GC_GREEN)
+        self.samples: List[int] = []
+
+    @staticmethod
+    def _reduced_edges(vertex: Vertex, dir: int) -> List[Edge]:
+        edges = sorted(vertex.edges_dir(dir), key=lambda e: -e.coord.length())
+        edges = [
+            e
+            for e in edges
+            if not e.coord.is_contained() or not e.coord.is_extreme()
+        ]
+        out: List[Edge] = []
+        for e in edges:
+            if out and (
+                e.coord.length() == out[-1].coord.length()
+                and e.label() == out[-1].label()
+            ):
+                continue
+            out.append(e)
+        return out
+
+    def visit(self, graph, vertex):
+        if vertex.color != GC_GREEN:
+            return False
+        distancelist: Dict[str, int] = {vertex.id: 0}
+        vertex.color = GC_RED
+
+        for search_dir0 in (ED_SENSE, ED_ANTISENSE):
+            search_dir = search_dir0
+            distance = 0
+            flag = 1 if search_dir == ED_SENSE else -1
+            p = vertex
+            while True:
+                straight = self._reduced_edges(p, search_dir)
+                if (
+                    len(straight) != 1
+                    or straight[0].is_self()
+                    or straight[0].end.color == GC_RED
+                ):
+                    break
+                single = straight[0]
+                twin = single.twin
+                end = single.end
+                opposite = self._reduced_edges(end, twin.dir)
+                if len(opposite) != 1:
+                    break
+                p = end
+                if search_dir == ED_SENSE:
+                    coord = single.coord
+                else:
+                    coord = twin.coord
+                distance += flag * (coord.seqlen - coord.length())
+                if single.comp == EC_REVERSE:
+                    search_dir = ED_COUNT - search_dir - 1
+                distancelist[p.id] = distance
+                p.color = GC_RED
+
+        for vid, d in distancelist.items():
+            pair_id = fastx.pairend_id(vid)
+            if vid < pair_id:
+                if pair_id in distancelist:
+                    self.samples.append(abs(distancelist[pair_id] - d))
+        return False
+
+    def postvisit(self, graph):
+        if self.samples:
+            mean = sum(self.samples) / len(self.samples)
+            self.average = int(mean)
+            var = sum(s * s for s in self.samples) / len(self.samples) - mean * mean
+            self.delta = math.sqrt(max(var, 0.0))
+        graph.color(GC_GREEN)
+
+
+class PairedReadVisitor(BigraphVisitor):
+    """pe-mode=1 core: confirm edges using read-pair consistency
+    (src/bigraph_visitors.cpp:669-969)."""
+
+    def __init__(
+        self,
+        max_distance: int = 100,
+        insert_size: int = 500,
+        insert_delta: int = 100,
+        max_nodes: int = 100,
+    ):
+        self.max_distance = max_distance
+        self.insert_size = insert_size
+        self.insert_delta = insert_delta
+        self.max_nodes = max_nodes
+
+    def previsit(self, graph):
+        self._vertices: List[Vertex] = []
+
+    def visit(self, graph, vertex):
+        paired = graph.get_vertex(fastx.pairend_id(vertex.id))
+        assert paired is not None, f"missing pair for {vertex.id}"
+        self._vertices.append(vertex)
+        return False
+
+    def _process(self, graph: Bigraph, vertex1: Vertex) -> List[search.Node]:
+        linklist: List[search.Node] = []
+        paired_v1 = graph.get_vertex(fastx.pairend_id(vertex1.id))
+        assert paired_v1 is not None
+
+        adjacents: List[search.Node] = []
+        if len(vertex1.seq) > self.max_distance:
+
+            def edge_filter(edge: Edge) -> bool:
+                if edge.dir == ED_SENSE or edge.comp == EC_REVERSE:
+                    e = edge if edge.dir == ED_SENSE else edge.twin
+                    return e.coord.seqlen > e.coord.length()
+                return False
+
+            search.build(
+                vertex1,
+                edge_filter,
+                None,
+                0,
+                self.max_distance,
+                self.max_nodes,
+                adjacents,
+            )
+        adjacents.sort(key=lambda n: abs(n.attr.distance))
+
+        for node1 in adjacents:
+            paired_v2 = graph.get_vertex(fastx.pairend_id(node1.vertex.id))
+            assert paired_v2 is not None
+            faraways: List[search.Node] = []
+            for dir in (ED_SENSE, ED_ANTISENSE):
+                if faraways:
+                    break
+                search.build(
+                    paired_v1,
+                    lambda e, d=dir: e.dir == d,
+                    paired_v2,
+                    0,
+                    abs(node1.attr.distance) + self.insert_delta * 4,
+                    1,
+                    faraways,
+                )
+            for _node2 in faraways:
+                linklist.append(node1)
+        return linklist
+
+    def postvisit(self, graph):
+        links: Dict[str, Dict[str, search.DistanceAttr]] = {}
+
+        def add_link(v1: str, v2: str, e: search.DistanceAttr):
+            if e.distance < 0:
+                t = e.twin()
+                t.distance = -t.distance
+                add_link(v2, v1, t)
+                return
+            tbl = links.setdefault(v1, {})
+            old = tbl.get(v2)
+            if old is None or old.distance > e.distance:
+                tbl[v2] = e
+
+        for vertex1 in self._vertices:
+            linklist = self._process(graph, vertex1)
+            linklist.sort(key=lambda n: abs(n.attr.distance))
+            for i, xi in enumerate(linklist):
+                add_link(vertex1.id, xi.vertex.id, search.attr_link1(xi.attr))
+                for j in range(i + 1, len(linklist)):
+                    xj = linklist[j]
+                    if (
+                        search.diff_dir(xi.attr, xj.attr)
+                        or xi.attr.distance == xj.attr.distance
+                    ):
+                        continue
+                    e = search.attr_link2(xi.attr, xj.attr)
+                    if search.has_link_attr(xi.vertex, xj.vertex, e):
+                        add_link(xi.vertex.id, xj.vertex.id, e)
+
+        graph.visit(EdgeColorVisitor(GC_GRAY))
+
+        for v1, tbl in links.items():
+            nodelist = sorted(tbl.items(), key=lambda kv: kv[1].distance)
+            for j, (vid_j, attr_j) in enumerate(nodelist):
+                confirmed = False
+                for k in range(j):
+                    vid_k, attr_k = nodelist[k]
+                    if attr_k.dir == attr_j.dir and search.has_link_pair(
+                        graph.get_vertex(vid_k),
+                        attr_k,
+                        graph.get_vertex(vid_j),
+                        attr_j,
+                    ):
+                        confirmed = True
+                        break
+                if not confirmed:
+                    self._create_edge(graph, v1, vid_j, attr_j, GC_WHITE)
+
+        # blacken non-confirmed edges in directions that have confirmed ones
+        class PairedEdgeFilter:
+            def __init__(self, color):
+                self.color = color
+                self.vertex = None
+                self.has_color = [False, False]
+
+            def __call__(self, vertex, edge):
+                if vertex is not self.vertex:
+                    self.vertex = vertex
+                    self.has_color = [False, False]
+                    for e in vertex.edges:
+                        if e.color == self.color:
+                            self.has_color[e.dir] = True
+                return (
+                    self.has_color[edge.dir] and edge.color != self.color
+                ) or edge.coord.is_full()
+
+        graph.visit(EdgeColorVisitor(GC_BLACK, PairedEdgeFilter(GC_WHITE), twin=True))
+        graph.sweep_edges(GC_BLACK)
+
+    def _create_edge(
+        self, graph: Bigraph, v1: str, v2: str, attr: search.DistanceAttr, color: int
+    ):
+        """PairedEdgeCreator::create (src/bigraph_visitors.cpp:815-859)."""
+        assert attr.distance > 0
+        verts = [graph.get_vertex(v1), graph.get_vertex(v2)]
+        for edge in verts[0].edges:
+            if edge.dir == attr.dir and edge.end is verts[1]:
+                if (
+                    edge.comp == attr.comp
+                    and edge.coord.complement().length() == attr.distance
+                ):
+                    edge.color = color
+                    edge.twin.color = color
+                    return
+        seq1, seq2 = verts[0].seq, verts[1].seq
+        if attr.dir == ED_ANTISENSE:
+            coord = [
+                SeqCoord(0, len(seq2) - attr.distance - 1, len(seq1)),
+                SeqCoord(attr.distance, len(seq2) - 1, len(seq2)),
+            ]
+        else:
+            coord = [
+                SeqCoord(attr.distance, len(seq1) - 1, len(seq1)),
+                SeqCoord(0, len(seq1) - attr.distance - 1, len(seq2)),
+            ]
+        if attr.comp == EC_REVERSE:
+            coord[1].flip()
+        creator = EdgeCreator(graph, True, -1)
+        ovr = Overlap.make(v1, coord[0], v2, coord[1], attr.comp == EC_REVERSE, 0)
+        creator.create(ovr, color)
