@@ -58,8 +58,8 @@ def main():
     builder = OverlapBuilder(fmi, rfmi)
     records = [DNASeq(name=f"r{i}", seq=s) for i, s in enumerate(seqs)]
 
-    # warmup (compile)
-    warm = records[:64]
+    # warmup (compile) with the same chunk shape as the timed run
+    warm = records[:2048]
     for _hit in batch_overlap_hits(builder, warm, min_overlap):
         pass
 

@@ -65,6 +65,9 @@ class FMIndex:
         i = np.asarray(i, dtype=np.int64)
         scalar = i.ndim == 0
         i = np.atleast_1d(i)
+        # clamp to the valid query range [-1, n-1]; garbage lanes (padding)
+        # may carry wild values whose answers are never read
+        i = np.clip(i, -1, self.length - 1)
         pos = i + 1  # number of symbols counted
         block = pos // SAMPLE
         base = self.checkpoints[block]  # (Q, 5)

@@ -89,9 +89,9 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
-    n = int(codes.size)
-    if n <= 1:
-        return np.arange(n, dtype=np.int64)
+    n_real = int(codes.size)
+    if n_real <= 1:
+        return np.arange(n_real, dtype=np.int64)
 
     # max rounds: ranks become distinct once h exceeds the longest read span
     sent_pos = np.flatnonzero(codes == 0)
@@ -99,8 +99,22 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     max_span = int((sent_pos - prev).max())  # read length + 1
     rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
 
+    # Pad the text to a power-of-2 bucket so the sort compiles once per
+    # bucket.  Pad symbols get distinct initial ranks above every real rank
+    # and increasing with position, so they occupy the SA tail in position
+    # order and never perturb the real suffix order.
+    n = 1024
+    while n < n_real:
+        n *= 2
+
+    init = _initial_ranks(codes)
+    top = int(init.max()) + 1
+    padded = np.empty(n, dtype=np.int64)
+    padded[:n_real] = init
+    padded[n_real:] = top + np.arange(n - n_real)
+
     itype = jnp.int32 if n < 2**31 else jnp.int64
-    rank = jnp.asarray(_initial_ranks(codes), dtype=itype)
+    rank = jnp.asarray(padded, dtype=itype)
     idx = jnp.arange(n, dtype=itype)
 
     @jax.jit
@@ -123,14 +137,18 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
         rank = jnp.zeros(n, dtype=itype).at[order].set(new_rank)
         return rank, order, new_rank[-1]
 
+    def finish(order):
+        out = np.asarray(order, dtype=np.int64)
+        return out[:n_real] if n > n_real else out
+
     h = 1
     for _ in range(rounds):
         rank, order, max_rank = step(rank, h)
         if int(max_rank) == n - 1:
-            return np.asarray(order, dtype=np.int64)
+            return finish(order)
         h *= 2
     # ranks are provably distinct after `rounds` doublings
-    return np.asarray(jnp.argsort(rank), dtype=np.int64)
+    return finish(jnp.argsort(rank))
 
 
 def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:

@@ -18,12 +18,20 @@ from ..index.fm import SAMPLE, FMIndex
 
 
 class DeviceFM:
-    """Immutable device mirror of a host FMIndex."""
+    """Immutable device mirror of a host FMIndex.
+
+    BWT symbols live as a (nblocks, SAMPLE) row matrix so an occ query is a
+    contiguous row gather (fast on TPU) instead of an element gather.
+    """
 
     def __init__(self, host: FMIndex):
         self.length = host.length
         self.num_strings = host.num_strings
-        self.codes = jnp.asarray(host.codes, dtype=jnp.uint8)
+        n = host.length
+        nblocks = n // SAMPLE + 1
+        padded = np.zeros(nblocks * SAMPLE, dtype=np.uint8)
+        padded[:n] = host.codes
+        self.codes = jnp.asarray(padded.reshape(nblocks, SAMPLE))
         self.checkpoints = jnp.asarray(host.checkpoints, dtype=jnp.int32)
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
         self.totals = jnp.asarray(host.totals, dtype=jnp.int32)
@@ -35,19 +43,24 @@ class DeviceFM:
 def occ_all(codes, checkpoints, length, i):
     """Batched inclusive occ counts: i int32 [...], -> [..., 5] int32.
 
-    occ(c, -1) == 0 by construction (pos=0 -> empty tail, checkpoint 0).
+    codes is the (nblocks, SAMPLE) row matrix; one row gather + masked
+    compare-sum per query.  The '$' count is derived from the tail length so
+    only 4 compare passes run.  occ(c, -1) == 0 by construction (pos=0 ->
+    empty tail, checkpoint 0).
     """
     pos = i + 1
     block = pos // SAMPLE
     base = checkpoints[block]
+    rows = codes[block]  # [..., SAMPLE] contiguous row gather
     offs = jnp.arange(SAMPLE, dtype=jnp.int32)
-    gidx = block[..., None] * SAMPLE + offs
-    g = codes[jnp.clip(gidx, 0, jnp.maximum(length - 1, 0))]
-    mask = offs < (pos - block * SAMPLE)[..., None]
+    tail_len = pos - block * SAMPLE
+    mask = offs < tail_len[..., None]
     counts = [
-        jnp.sum((g == c) & mask, axis=-1, dtype=jnp.int32) for c in range(5)
+        jnp.sum((rows == c) & mask, axis=-1, dtype=jnp.int32) for c in range(1, 5)
     ]
-    return base + jnp.stack(counts, axis=-1)
+    acgt = jnp.stack(counts, axis=-1)
+    dollar = tail_len - acgt.sum(axis=-1)
+    return base + jnp.concatenate([dollar[..., None], acgt], axis=-1)
 
 
 def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
@@ -69,6 +82,24 @@ def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
     nlo = pb + lc
     nhi = pb + uc - 1
     return nlo, nhi, nrlo, nrhi
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _scan_stage_a_compact(
+    max_t, min_overlap, cap, codes, checkpoints, pred, length, chars, lens
+):
+    """Like _scan_stage_a but compacts the sparse valid blocks on device so
+    only ~cap block records cross the host link (the tunnel transfer is the
+    bottleneck, not compute)."""
+    emitted, valid, final, lext = _scan_stage_a(
+        max_t, min_overlap, codes, checkpoints, pred, length, chars, lens
+    )
+    t_dim, lanes = valid.shape
+    flat_valid = valid.reshape(-1)
+    count = flat_valid.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat_valid, size=cap, fill_value=t_dim * lanes - 1)
+    data = emitted.reshape(t_dim * lanes, 8)[idx]
+    return count, idx.astype(jnp.int32), data, final, lext
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -95,8 +126,9 @@ def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, l
 
     def step(state, t):
         lo, hi, rlo, rhi = state
-        l_counts = occ(lo - 1)
-        u_counts = occ(hi)
+        both = occ(jnp.concatenate([lo - 1, hi]))
+        l_counts = both[:num_lanes]
+        u_counts = both[num_lanes:]
         # probe: extend left with '$' (rank 0)
         zeros = jnp.zeros_like(lo)
         plo, phi, prlo, prhi = update_left_core(
@@ -125,8 +157,9 @@ def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, l
     )
     flo, fhi, frlo, frhi = final_state
     # containment classification on the full-length interval
-    l_counts = occ(flo - 1)
-    u_counts = occ(fhi)
+    both = occ(jnp.concatenate([flo - 1, fhi]))
+    l_counts = both[:num_lanes]
+    u_counts = both[num_lanes:]
     lext = u_counts - l_counts
     zeros = jnp.zeros_like(flo)
     plo, phi, prlo, prhi = update_left_core(
@@ -136,6 +169,13 @@ def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, l
     return emitted, valid, final, lext
 
 
+def _next_pow2(n: int) -> int:
+    p = 1024
+    while p < n:
+        p *= 2
+    return p
+
+
 class StageAScanner:
     """Runs the stage-A scan for one (index, rindex) orientation pair."""
 
@@ -143,8 +183,11 @@ class StageAScanner:
         self.dfm = dfm
 
     def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
-        """seqs_ranks: int32 [L, maxlen] rank codes (left-aligned);
-        lens: [L].  Returns host numpy (emitted, valid, final, lext)."""
+        """seqs_ranks: int32 [L, maxlen] rank codes (left-aligned); lens: [L].
+
+        Returns host numpy (block_lane, block_t, block_data, final, lext):
+        blocks sorted by (lane, t); block_data is the 8-int interval record.
+        """
         num_lanes, maxlen = seqs_ranks.shape
         max_t = maxlen - 1
         # chars[:, t] = seq[l-2-t] for t < l-1; chars[:, max_t] = seq[l-1]
@@ -156,19 +199,32 @@ class StageAScanner:
         chars[np.arange(num_lanes), max_t] = seqs_ranks[
             np.arange(num_lanes), lens - 1
         ]
-        emitted, valid, final, lext = _scan_stage_a(
-            max_t,
-            min_overlap,
-            self.dfm.codes,
-            self.dfm.checkpoints,
-            self.dfm.pred,
-            jnp.int32(self.dfm.length),
-            jnp.asarray(chars),
-            jnp.asarray(lens.astype(np.int32)),
-        )
-        return (
-            np.asarray(emitted),
-            np.asarray(valid),
-            np.asarray(final),
-            np.asarray(lext),
-        )
+        chars_d = jnp.asarray(chars)
+        lens_d = jnp.asarray(lens.astype(np.int32))
+
+        cap = _next_pow2(max(4 * num_lanes, 1024))
+        while True:
+            count, idx, data, final, lext = _scan_stage_a_compact(
+                max_t,
+                min_overlap,
+                cap,
+                self.dfm.codes,
+                self.dfm.checkpoints,
+                self.dfm.pred,
+                jnp.int32(self.dfm.length),
+                chars_d,
+                lens_d,
+            )
+            nblocks = int(count)
+            if nblocks <= cap:
+                break
+            cap = _next_pow2(nblocks)
+
+        idx = np.asarray(idx[:nblocks], dtype=np.int64)
+        data = np.asarray(data[:nblocks])
+        final = np.asarray(final)
+        lext = np.asarray(lext)
+        lane = idx % num_lanes
+        t = idx // num_lanes
+        order = np.lexsort((t, lane))
+        return lane[order], t[order], data[order], final, lext

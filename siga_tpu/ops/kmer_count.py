@@ -35,8 +35,9 @@ def _count_scan(k, codes, checkpoints, pred, length, kmers):
         lo, hi = state
         c = kmers[:, k - 2 - j]
         pb = pred[c]
-        l_counts = occ(lo - 1)
-        u_counts = occ(hi)
+        both = occ(jnp.concatenate([lo - 1, hi]))
+        l_counts = both[: lo.shape[0]]
+        u_counts = both[lo.shape[0] :]
         nlo = pb + jnp.take_along_axis(l_counts, c[..., None], axis=-1)[..., 0]
         nhi = pb + jnp.take_along_axis(u_counts, c[..., None], axis=-1)[..., 0] - 1
         # once invalid, stay invalid (reference stops updating; counts clamp)

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..core import dna
 from ..index.fm import FMIndex, IntervalPair
+from ..overlap.batch_extract import BatchedExtractor, make_task
 from ..overlap.builder import (
     AF_PREFIX_PREFIX,
     AF_PREFIX_SUFFIX,
@@ -30,52 +31,76 @@ from .fm_device import DeviceFM, StageAScanner
 CHUNK_READS = 2048
 
 
-def _pack_lanes(seqs: Sequence[str]) -> (np.ndarray, np.ndarray):
-    maxlen = max(len(s) for s in seqs)
-    out = np.zeros((len(seqs), maxlen), dtype=np.int32)
-    lens = np.zeros(len(seqs), dtype=np.int64)
+def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
+    """Pack to fixed (num_lanes, maxlen) so the scan compiles once.  Padding
+    lanes get length 1 (they emit nothing and their containment rows are
+    never read)."""
+    out = np.zeros((num_lanes, maxlen), dtype=np.int32)
+    lens = np.ones(num_lanes, dtype=np.int64)
     for i, s in enumerate(seqs):
         out[i, : len(s)] = dna.encode(s)
         lens[i] = len(s)
     return out, lens
 
 
-def _blocks_from_scan(emitted, valid, af, lane, min_overlap) -> List[OverlapBlock]:
-    """Reconstruct OverlapBlocks in ascending-length order (matching the host
-    finder's emission order)."""
-    blocks = []
-    ts = np.flatnonzero(valid[:, lane])
-    for t in ts:
-        e = emitted[t, lane]
-        blocks.append(
-            OverlapBlock(
-                IntervalPair(int(e[0]), int(e[1]), int(e[2]), int(e[3])),
-                IntervalPair(int(e[4]), int(e[5]), int(e[6]), int(e[7])),
-                int(t) + 1,
-                af,
+class _ScanBlocks:
+    """Per-lane block lists from a compacted scan result."""
+
+    def __init__(self, lane, t, data, num_lanes):
+        self.starts = np.searchsorted(lane, np.arange(num_lanes + 1))
+        self.t = t
+        self.data = data
+
+    def blocks(self, lane: int, af: int) -> List[OverlapBlock]:
+        out = []
+        for i in range(self.starts[lane], self.starts[lane + 1]):
+            e = self.data[i]
+            out.append(
+                OverlapBlock(
+                    IntervalPair(int(e[0]), int(e[1]), int(e[2]), int(e[3])),
+                    IntervalPair(int(e[4]), int(e[5]), int(e[6]), int(e[7])),
+                    int(self.t[i]) + 1,
+                    af,
+                )
             )
+        return out
+
+
+class _Containments:
+    """Batched containment/substring classification over all lanes of a scan
+    (the other index's occ for rext + the final '$' right-update, computed in
+    two batched occ pairs)."""
+
+    def __init__(self, final: np.ndarray, lext: np.ndarray, rindex: FMIndex):
+        self.final = final
+        self.lext = lext
+        frlo = final[:, 2].astype(np.int64)
+        frhi = final[:, 3].astype(np.int64)
+        rext = rindex.occ_all(frhi) - rindex.occ_all(frlo - 1)
+        self.substring = (lext[:, 1:].sum(axis=1) > 0) | (rext[:, 1:].sum(axis=1) > 0)
+        prlo = final[:, 6].astype(np.int64)
+        prhi = final[:, 7].astype(np.int64)
+        self.p_l = rindex.occ_all(prlo - 1)
+        self.p_u = rindex.occ_all(prhi)
+
+    def get(self, lane: int, seqlen: int, af: int, result: OverlapResult):
+        if self.substring[lane]:
+            result.substring = True
+            return None
+        flo, fhi, frlo, frhi, plo, phi, prlo, prhi = (
+            int(v) for v in self.final[lane]
         )
-    return blocks
-
-
-def _containment_from_scan(
-    final_row, lext_row, seqlen, af, rindex: FMIndex, result: OverlapResult
-):
-    """Containment/substring classification from a lane's full-length interval
-    (host side: needs the other index's occ for rext and the final '$'
-    right-update)."""
-    flo, fhi, frlo, frhi, plo, phi, prlo, prhi = (int(v) for v in final_row)
-    raw = IntervalPair(flo, fhi, frlo, frhi)
-    rext = rindex.interval_ext(frlo, frhi)
-    if lext_row[1:].sum() > 0 or rext[1:].sum() > 0:
-        result.substring = True
+        raw = IntervalPair(flo, fhi, frlo, frhi)
+        probe = IntervalPair(plo, phi, prlo, prhi)
+        if probe.valid():
+            # updateR('$') from the cached counts: pred['$'] == 0
+            diff0 = int(self.p_u[lane, 0] - self.p_l[lane, 0])
+            probe.hi = probe.lo + diff0 - 1
+            probe.rlo = int(self.p_l[lane, 0])
+            probe.rhi = int(self.p_u[lane, 0]) - 1
+            assert probe.valid()
+            return OverlapBlock(probe, raw, seqlen, af)
         return None
-    probe = IntervalPair(plo, phi, prlo, prhi)
-    if probe.valid():
-        probe.update_right(0, rindex)
-        assert probe.valid()
-        return OverlapBlock(probe, raw, seqlen, af)
-    return None
 
 
 def batch_overlap_hits(
@@ -88,68 +113,69 @@ def batch_overlap_hits(
     fwd_scanner = StageAScanner(dfwd)
     rev_scanner = StageAScanner(drev)
 
-    for start in range(0, len(records), CHUNK_READS):
-        chunk = records[start : start + CHUNK_READS]
+    # fixed shapes across chunks: one compile serves the whole run
+    chunk_reads = min(CHUNK_READS, max(64, len(records)))
+    global_maxlen = max(len(r.seq) for r in records)
+    global_maxlen += (-global_maxlen) % 16  # round up to a 16-wide bucket
+
+    for start in range(0, len(records), chunk_reads):
+        chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
-        n = len(seqs)
+        n = chunk_reads  # fixed lane stride (padded lanes are inert)
 
         # forward-index lanes: [seq, rc(seq)]; reverse-index lanes:
         # [reverse(seq), complement(seq)]
         fwd_lane_seqs = list(seqs)
         rev_lane_seqs = [s[::-1] for s in seqs]
         if builder.rc:
+            fwd_lane_seqs += [""] * (n - len(seqs))
+            rev_lane_seqs += [""] * (n - len(seqs))
             fwd_lane_seqs += [dna.reverse_complement(s) for s in seqs]
             rev_lane_seqs += [dna.complement(s) for s in seqs]
 
-        f_ranks, f_lens = _pack_lanes(fwd_lane_seqs)
-        r_ranks, r_lens = _pack_lanes(rev_lane_seqs)
-        f_em, f_va, f_fi, f_le = fwd_scanner.scan(f_ranks, f_lens, min_overlap)
-        r_em, r_va, r_fi, r_le = rev_scanner.scan(r_ranks, r_lens, min_overlap)
+        num_lanes = 2 * n if builder.rc else n
+        f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, global_maxlen)
+        r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, global_maxlen)
+        f_lane, f_t, f_data, f_fi, f_le = fwd_scanner.scan(f_ranks, f_lens, min_overlap)
+        r_lane, r_t, r_data, r_fi, r_le = rev_scanner.scan(r_ranks, r_lens, min_overlap)
+        f_blocks = _ScanBlocks(f_lane, f_t, f_data, len(fwd_lane_seqs))
+        r_blocks = _ScanBlocks(r_lane, r_t, r_data, len(rev_lane_seqs))
+        f_contain = _Containments(f_fi, f_le, rfmi)
+        r_contain = _Containments(r_fi, r_le, fmi)
 
+        pending = []
+        tasks = []
         for k, rec in enumerate(chunk):
             seqlen = len(rec.seq)
             result = OverlapResult()
             hit = Hit(idx=start + k)
 
-            suffixfwd = _blocks_from_scan(f_em, f_va, AF_SUFFIX_PREFIX, k, min_overlap)
-            prefixrev = _blocks_from_scan(r_em, r_va, AF_PREFIX_SUFFIX, k, min_overlap)
+            suffixfwd = f_blocks.blocks(k, AF_SUFFIX_PREFIX)
+            prefixrev = r_blocks.blocks(k, AF_PREFIX_SUFFIX)
             containfwd: List[OverlapBlock] = []
             containrev: List[OverlapBlock] = []
             prefixfwd: List[OverlapBlock] = []
             suffixrev: List[OverlapBlock] = []
 
-            cb = _containment_from_scan(
-                f_fi[k], f_le[k], seqlen, AF_SUFFIX_PREFIX, rfmi, result
-            )
+            cb = f_contain.get(k, seqlen, AF_SUFFIX_PREFIX, result)
             if cb is not None:
                 containfwd.append(cb)
-            cb = _containment_from_scan(
-                r_fi[k], r_le[k], seqlen, AF_PREFIX_SUFFIX, fmi, result
-            )
+            cb = r_contain.get(k, seqlen, AF_PREFIX_SUFFIX, result)
             if cb is not None:
                 containrev.append(cb)
 
             if builder.rc:
-                prefixfwd = _blocks_from_scan(
-                    f_em, f_va, AF_PREFIX_PREFIX, n + k, min_overlap
-                )
-                suffixrev = _blocks_from_scan(
-                    r_em, r_va, AF_SUFFIX_SUFFIX, n + k, min_overlap
-                )
-                cb = _containment_from_scan(
-                    f_fi[n + k], f_le[n + k], seqlen, AF_PREFIX_PREFIX, rfmi, result
-                )
+                prefixfwd = f_blocks.blocks(n + k, AF_PREFIX_PREFIX)
+                suffixrev = r_blocks.blocks(n + k, AF_SUFFIX_SUFFIX)
+                cb = f_contain.get(n + k, seqlen, AF_PREFIX_PREFIX, result)
                 if cb is not None:
                     containfwd.append(cb)
-                cb = _containment_from_scan(
-                    r_fi[n + k], r_le[n + k], seqlen, AF_SUFFIX_SUFFIX, fmi, result
-                )
+                cb = r_contain.get(n + k, seqlen, AF_SUFFIX_SUFFIX, result)
                 if cb is not None:
                     containrev.append(cb)
 
-            result = builder.finish(
+            suffix_joined, prefix_joined = builder.prepare_lists(
                 seqlen,
-                result,
                 suffixfwd,
                 suffixrev,
                 prefixfwd,
@@ -158,5 +184,24 @@ def batch_overlap_hits(
                 containrev,
                 hit.blocks,
             )
+            if builder.irreducible:
+                t_s = make_task((k, 0), suffix_joined)
+                t_p = make_task((k, 1), prefix_joined)
+                tasks.extend((t_s, t_p))
+                pending.append((hit, result, t_s, t_p))
+            else:
+                hit.blocks.extend(suffix_joined)
+                hit.blocks.extend(prefix_joined)
+                pending.append((hit, result, None, None))
+
+        if tasks:
+            BatchedExtractor(fmi, rfmi).run(tasks)
+
+        for hit, result, t_s, t_p in pending:
+            if t_s is not None:
+                result.aborted |= t_s.failed
+                hit.blocks.extend(t_s.out)
+                result.aborted |= t_p.failed
+                hit.blocks.extend(t_p.out)
             hit.substring = result.substring
             yield hit

@@ -420,6 +420,44 @@ class OverlapBuilder:
             blocks,
         )
 
+    def prepare_lists(
+        self,
+        seqlen: int,
+        suffixfwd: List[OverlapBlock],
+        suffixrev: List[OverlapBlock],
+        prefixfwd: List[OverlapBlock],
+        prefixrev: List[OverlapBlock],
+        containfwd: List[OverlapBlock],
+        containrev: List[OverlapBlock],
+        blocks: List[OverlapBlock],
+    ) -> Tuple[List[OverlapBlock], List[OverlapBlock]]:
+        """Stage B: submaximal filtering + containment removal.  Appends the
+        containment blocks to `blocks` and returns the joined
+        (suffix, prefix) lists ready for irreducible extraction."""
+        suffixfwd.extend(b.copy() for b in containfwd)
+        prefixfwd.extend(b.copy() for b in containfwd)
+        suffixrev.extend(b.copy() for b in containrev)
+        prefixrev.extend(b.copy() for b in containrev)
+
+        ffilter = SubMaximalBlockFilter(self.fmi, self.rfmi)
+        ffilter.filter(suffixfwd)
+        ffilter.filter(prefixfwd)
+        rfilter = SubMaximalBlockFilter(self.rfmi, self.fmi)
+        rfilter.filter(suffixrev)
+        rfilter.filter(prefixrev)
+
+        remove_containment_blocks(suffixfwd, seqlen)
+        remove_containment_blocks(prefixfwd, seqlen)
+        remove_containment_blocks(suffixrev, seqlen)
+        remove_containment_blocks(prefixrev, seqlen)
+
+        blocks.extend(containfwd)
+        blocks.extend(containrev)
+
+        suffixfwd.extend(suffixrev)
+        prefixfwd.extend(prefixrev)
+        return suffixfwd, prefixfwd
+
     def finish(
         self,
         seqlen: int,
