@@ -49,6 +49,10 @@ class FMIndex:
         self.totals = totals
         # C(a): number of symbols strictly smaller than a
         self.pred = np.concatenate(([0], np.cumsum(totals)[:-1]))
+        # per-symbol sorted position lists: host occ is 5 binary searches
+        self.positions = [
+            np.flatnonzero(self.codes == c) for c in range(dna.ALL_SIZE)
+        ]
 
     @classmethod
     def load(cls, path: str) -> "FMIndex":
@@ -67,21 +71,10 @@ class FMIndex:
         i = np.atleast_1d(i)
         # clamp to the valid query range [-1, n-1]; garbage lanes (padding)
         # may carry wild values whose answers are never read
-        i = np.clip(i, -1, self.length - 1)
-        pos = i + 1  # number of symbols counted
-        block = pos // SAMPLE
-        base = self.checkpoints[block]  # (Q, 5)
-        tail_start = block * SAMPLE
-        tail_len = pos - tail_start  # 0..SAMPLE
-        # gather tail codes: (Q, SAMPLE) with mask
-        offs = np.arange(SAMPLE, dtype=np.int64)
-        gidx = tail_start[:, None] + offs[None, :]
-        np.clip(gidx, 0, max(self.length - 1, 0), out=gidx)
-        gathered = self.codes[gidx] if self.length else np.zeros_like(gidx, dtype=np.uint8)
-        mask = offs[None, :] < tail_len[:, None]
-        out = base.copy()
+        pos = np.clip(i, -1, self.length - 1) + 1  # number of symbols counted
+        out = np.empty(i.shape + (dna.ALL_SIZE,), dtype=np.int64)
         for c in range(dna.ALL_SIZE):
-            out[:, c] += ((gathered == c) & mask).sum(axis=1)
+            out[..., c] = np.searchsorted(self.positions[c], pos, side="left")
         return out[0] if scalar else out
 
     def occ(self, c_rank: int, i) -> np.ndarray:

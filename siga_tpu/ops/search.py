@@ -195,7 +195,10 @@ def batch_overlap_hits(
                 pending.append((hit, result, None, None))
 
         if tasks:
-            BatchedExtractor(fmi, rfmi).run(tasks)
+            if _native_extractor(builder) is not None:
+                _run_native(builder, tasks)
+            else:
+                BatchedExtractor(fmi, rfmi).run(tasks)
 
         for hit, result, t_s, t_p in pending:
             if t_s is not None:
@@ -205,3 +208,54 @@ def batch_overlap_hits(
                 hit.blocks.extend(t_p.out)
             hit.substring = result.substring
             yield hit
+
+
+def _native_extractor(builder):
+    if getattr(builder, "_native_ext", False) is False:
+        from .. import native
+
+        if native.available():
+            builder._native_ext = native.NativeExtractor(builder.fmi, builder.rfmi)
+        else:
+            builder._native_ext = None
+    return builder._native_ext
+
+
+def _blocks_to_array(blocks) -> np.ndarray:
+    a = np.empty((len(blocks), 10), dtype=np.int64)
+    for i, b in enumerate(blocks):
+        c, r = b.capped, b.raw
+        a[i, 0] = c.lo
+        a[i, 1] = c.hi
+        a[i, 2] = c.rlo
+        a[i, 3] = c.rhi
+        a[i, 4] = r.lo
+        a[i, 5] = r.hi
+        a[i, 6] = r.rlo
+        a[i, 7] = r.rhi
+        a[i, 8] = b.length
+        a[i, 9] = b.af
+    return a
+
+
+def _array_to_blocks(a: np.ndarray):
+    rows = a.tolist()
+    return [
+        OverlapBlock(
+            IntervalPair(v[0], v[1], v[2], v[3]),
+            IntervalPair(v[4], v[5], v[6], v[7]),
+            v[8],
+            v[9],
+        )
+        for v in rows
+    ]
+
+
+def _run_native(builder, tasks) -> None:
+    ext = _native_extractor(builder)
+    arrays = [_blocks_to_array([st.block for st in t.groups[0]]) for t in tasks]
+    outs, failed = ext.run(arrays)
+    for t, out, f in zip(tasks, outs, failed):
+        t.out = _array_to_blocks(out)
+        t.failed = bool(f)
+        t.groups = []
