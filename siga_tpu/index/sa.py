@@ -114,11 +114,28 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     padded[n_real:] = top + np.arange(n - n_real)
 
     itype = jnp.int32 if n < 2**31 else jnp.int64
-    rank = jnp.asarray(padded, dtype=itype)
+    order = _prefix_doubling(rounds, n, jnp.asarray(padded, dtype=itype))
+    out = np.asarray(order, dtype=np.int64)
+    return out[:n_real] if n > n_real else out
+
+
+from functools import partial as _partial
+
+
+@_partial(__import__("jax").jit, static_argnums=(0, 1))
+def _prefix_doubling(rounds, n, rank):
+    """All doubling rounds in one device program (a host sync per round costs
+    a full tunnel round trip).  Ranks are provably distinct after `rounds`
+    doublings; converged rounds are no-ops on already-distinct ranks."""
+    import jax
+    import jax.numpy as jnp
+
+    itype = rank.dtype
     idx = jnp.arange(n, dtype=itype)
 
-    @jax.jit
-    def step(rank, h):
+    def body(r, carry):
+        rank, order = carry
+        h = jnp.asarray(1, itype) << r
         key2 = jnp.where(idx + h < n, jnp.roll(rank, -h), -1)
         # lexicographic (rank, key2) sort as two stable single-key argsorts
         # (LSD radix): XLA's single-key sort is fast everywhere, variadic
@@ -135,20 +152,12 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
         )
         new_rank = jnp.cumsum(boundary)
         rank = jnp.zeros(n, dtype=itype).at[order].set(new_rank)
-        return rank, order, new_rank[-1]
+        return rank, order
 
-    def finish(order):
-        out = np.asarray(order, dtype=np.int64)
-        return out[:n_real] if n > n_real else out
-
-    h = 1
-    for _ in range(rounds):
-        rank, order, max_rank = step(rank, h)
-        if int(max_rank) == n - 1:
-            return finish(order)
-        h *= 2
-    # ranks are provably distinct after `rounds` doublings
-    return finish(jnp.argsort(rank))
+    _, order = jax.lax.fori_loop(
+        0, rounds, body, (rank, jnp.arange(n, dtype=itype))
+    )
+    return order
 
 
 def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:

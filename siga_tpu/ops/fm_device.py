@@ -182,12 +182,8 @@ class StageAScanner:
     def __init__(self, dfm: DeviceFM):
         self.dfm = dfm
 
-    def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
-        """seqs_ranks: int32 [L, maxlen] rank codes (left-aligned); lens: [L].
-
-        Returns host numpy (block_lane, block_t, block_data, final, lext):
-        blocks sorted by (lane, t); block_data is the 8-int interval record.
-        """
+    def dispatch(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
+        """Launch the scan asynchronously; returns a handle for collect()."""
         num_lanes, maxlen = seqs_ranks.shape
         max_t = maxlen - 1
         # chars[:, t] = seq[l-2-t] for t < l-1; chars[:, max_t] = seq[l-1]
@@ -203,7 +199,24 @@ class StageAScanner:
         lens_d = jnp.asarray(lens.astype(np.int32))
 
         cap = _next_pow2(max(4 * num_lanes, 1024))
-        while True:
+        out = _scan_stage_a_compact(
+            max_t,
+            min_overlap,
+            cap,
+            self.dfm.codes,
+            self.dfm.checkpoints,
+            self.dfm.pred,
+            jnp.int32(self.dfm.length),
+            chars_d,
+            lens_d,
+        )
+        return (out, cap, num_lanes, max_t, min_overlap, chars_d, lens_d)
+
+    def collect(self, handle):
+        (count, idx, data, final, lext), cap, num_lanes, max_t, min_overlap, chars_d, lens_d = handle
+        nblocks = int(count)
+        while nblocks > cap:
+            cap = _next_pow2(nblocks)
             count, idx, data, final, lext = _scan_stage_a_compact(
                 max_t,
                 min_overlap,
@@ -216,9 +229,6 @@ class StageAScanner:
                 lens_d,
             )
             nblocks = int(count)
-            if nblocks <= cap:
-                break
-            cap = _next_pow2(nblocks)
 
         idx = np.asarray(idx[:nblocks], dtype=np.int64)
         data = np.asarray(data[:nblocks])
@@ -228,3 +238,7 @@ class StageAScanner:
         t = idx // num_lanes
         order = np.lexsort((t, lane))
         return lane[order], t[order], data[order], final, lext
+
+    def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
+        """Synchronous dispatch+collect (see those methods)."""
+        return self.collect(self.dispatch(seqs_ranks, lens, min_overlap))

@@ -118,11 +118,10 @@ def batch_overlap_hits(
     global_maxlen = max(len(r.seq) for r in records)
     global_maxlen += (-global_maxlen) % 16  # round up to a 16-wide bucket
 
-    for start in range(0, len(records), chunk_reads):
+    def dispatch(start):
         chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
         n = chunk_reads  # fixed lane stride (padded lanes are inert)
-
         # forward-index lanes: [seq, rc(seq)]; reverse-index lanes:
         # [reverse(seq), complement(seq)]
         fwd_lane_seqs = list(seqs)
@@ -132,14 +131,27 @@ def batch_overlap_hits(
             rev_lane_seqs += [""] * (n - len(seqs))
             fwd_lane_seqs += [dna.reverse_complement(s) for s in seqs]
             rev_lane_seqs += [dna.complement(s) for s in seqs]
-
         num_lanes = 2 * n if builder.rc else n
         f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, global_maxlen)
         r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, global_maxlen)
-        f_lane, f_t, f_data, f_fi, f_le = fwd_scanner.scan(f_ranks, f_lens, min_overlap)
-        r_lane, r_t, r_data, r_fi, r_le = rev_scanner.scan(r_ranks, r_lens, min_overlap)
-        f_blocks = _ScanBlocks(f_lane, f_t, f_data, len(fwd_lane_seqs))
-        r_blocks = _ScanBlocks(r_lane, r_t, r_data, len(rev_lane_seqs))
+        fh = fwd_scanner.dispatch(f_ranks, f_lens, min_overlap)
+        rh = rev_scanner.dispatch(r_ranks, r_lens, min_overlap)
+        return chunk, fh, rh
+
+    starts = list(range(0, len(records), chunk_reads))
+    LOOKAHEAD = 2  # chunks in flight: device runs ahead of host processing
+    inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
+
+    for ci, start in enumerate(starts):
+        chunk, fh, rh = inflight.pop(0)
+        if ci + LOOKAHEAD < len(starts):
+            inflight.append(dispatch(starts[ci + LOOKAHEAD]))
+        n = chunk_reads
+        f_lane, f_t, f_data, f_fi, f_le = fwd_scanner.collect(fh)
+        r_lane, r_t, r_data, r_fi, r_le = rev_scanner.collect(rh)
+        num_lanes = 2 * n if builder.rc else n
+        f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
+        r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
         f_contain = _Containments(f_fi, f_le, rfmi)
         r_contain = _Containments(r_fi, r_le, fmi)
 
