@@ -107,6 +107,10 @@ OPTION_TABLES: Dict[str, Tuple[str, List[Tuple[str, bool, str]]]] = {
             ("num-reads", True, "N"),
             ("genome-size", True, "G"),
             ("uniq-threshold", True, "T"),
+            ("ai-model", True, "M"),
+            ("max-search-nodes", True, ""),
+            ("min-linkedread-length", True, ""),
+            ("min-linkedread-coverage", True, ""),
             ("help", False, "h"),
         ],
     ),

@@ -87,6 +87,21 @@ def run(opts: dict, arguments: List[str]) -> int:
 
     g.simplify()
 
+    ai_visit = None
+    if opts.get("ai-model"):
+        from ..graph.visitors import AIVisitor
+        from ..ml.model import BaggingModel
+
+        try:
+            model = BaggingModel.load(str(opts["ai-model"]))
+            ai_visit = AIVisitor(
+                model,
+                int(opts.get("num-reads", 0)),
+                int(opts.get("genome-size", 0)),
+            )
+        except (OSError, ValueError, KeyError):
+            print("load ai model failed", file=sys.stderr)
+
     if opts.get("with-index"):
         g.visit(LinkedReadVisitor())
         g.simplify()
@@ -109,6 +124,10 @@ def run(opts: dict, arguments: List[str]) -> int:
         )
         for _round in range(num_rounds):
             modified = False
+            if ai_visit is not None:
+                if g.visit(ai_visit):
+                    modified = True
+                    g.simplify()
             if g.visit(loop):
                 modified = True
                 g.simplify()

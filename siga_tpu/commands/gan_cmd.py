@@ -1,17 +1,18 @@
-"""`siga gan` — emit labeled ML training rows for graph edges
-(/root/reference/src/gan.cpp + GANVisitor).
+"""`siga gan` — emit labeled ML training rows for graph edges.
 
-The reference command runs GANVisitor rounds over the loaded graph, emitting
-one feature row per edge with a true/false-positive label derived from a
-reference FM-index (--ref) or EX-tag alignments.  Hidden from help like the
-reference (registered with rank kUnknown, src/gan.cpp:107).
+Mirrors /root/reference/src/gan.cpp: load the graph, optional reference
+FM-index for ground truth, run GANVisitor rounds (each followed by simplify)
+until no modification, write <prefix>-gan.fa and <prefix>-gan.asqg.gz.
+Hidden from help like the reference (rank kUnknown, src/gan.cpp:107).
 """
 from __future__ import annotations
 
 import sys
 from typing import List
 
-from ..graph.bigraph import Bigraph, ED_SENSE
+from ..constants import ASQG_EXT, BWT_EXT, GZIP_EXT
+from ..graph.bigraph import Bigraph
+from ..graph.visitors import FastaVisitor, GANVisitor, StatisticsVisitor
 from ..io import fastx
 
 
@@ -20,38 +21,34 @@ def run(opts: dict, arguments: List[str]) -> int:
         print("usage: siga gan [OPTION] ... ASQGFILE", file=sys.stderr)
         return 256
     input_path = arguments[0]
+    output = opts.get("prefix", "default")
+
     with fastx.xopen(input_path, "rt") as stream:
-        g = Bigraph.load(stream, int(opts.get("min-overlap", 0)), True, -1)
+        g = Bigraph.load(
+            stream, int(opts.get("min-overlap", 0)), True, int(opts.get("max-edges", 128))
+        )
+    g.validate()
 
     ref_index = None
     if opts.get("ref"):
-        from ..constants import BWT_EXT
-        from ..core import dna
         from ..index.fm import FMIndex
 
         ref_index = FMIndex.load(str(opts["ref"]) + BWT_EXT)
 
-    # one row per canonical edge: overlap length, vertex lengths, coverages,
-    # degrees, and (when a reference is given) a ground-truth label from an
-    # exact-match lookup of the merged sequence.
-    for v in g.vertices.values():
-        for edge in v.edges:
-            if edge.start().id > edge.end.id:
-                continue
-            o = edge.coord.length()
-            label = ""
-            if ref_index is not None:
-                from ..core import dna
+    stats = StatisticsVisitor()
+    gan = GANVisitor(sys.stdout, ref_index)
+    g.visit(stats)
 
-                merged = edge.start().seq + edge.label()
-                n = ref_index.occurrences(merged) + ref_index.occurrences(
-                    dna.reverse_complement(merged)
-                )
-                label = f"\t{1 if n > 0 else 0}"
-            print(
-                f"{edge.start().id}\t{edge.end.id}\t{o}"
-                f"\t{len(edge.start().seq)}\t{len(edge.end.seq)}"
-                f"\t{edge.start().coverage}\t{edge.end.coverage}"
-                f"\t{edge.start().degrees()}\t{edge.end.degrees()}{label}"
-            )
+    num_rounds = int(opts.get("cut-terminal", 10))
+    for _round in range(num_rounds):
+        if not g.visit(gan):
+            break
+        g.simplify()
+        g.visit(stats)
+
+    g.visit(stats)
+    with open(output + "-gan.fa", "w") as stream:
+        g.visit(FastaVisitor(stream))
+    with fastx.xopen(output + "-gan" + ASQG_EXT + GZIP_EXT, "wt") as stream:
+        g.save(stream)
     return 0

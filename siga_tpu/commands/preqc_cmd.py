@@ -53,7 +53,24 @@ def run(opts: dict, arguments: List[str]) -> int:
 
     if not opts.get("simple"):
         k = int(opts.get("kmer", 31))
-        doc["GenomeSize"] = {"k": k, "size": 0}
+        # sample the k-mer occurrence distribution from the FM-index when one
+        # exists (reference GenomeEstimator skeleton reports size 0,
+        # src/preqc.cpp:164-198)
+        size = 0
+        try:
+            from ..constants import BWT_EXT
+            from ..index.fm import FMIndex
+            from ..index.kmerdistr import KmerDistribution
+
+            prefix = opts.get("prefix") or fastx.stem(input_path)
+            index = FMIndex.load(prefix + BWT_EXT)
+            distr = KmerDistribution()
+            KmerDistribution.sample(
+                index, k, min(1000, int(opts.get("samples", 1000))), distr, rng
+            )
+        except (FileNotFoundError, OSError):
+            pass
+        doc["GenomeSize"] = {"k": k, "size": size}
 
     print(json.dumps(doc))
     return 0

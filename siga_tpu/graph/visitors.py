@@ -36,7 +36,12 @@ from .bigraph import (
 def repeatness(vertex: Vertex, n: int, g: int) -> float:
     delta = float(len(vertex.seq))
     k = float(vertex.coverage)
-    return delta * n / g - k * math.log(2.0)
+    # C++ double semantics: x/0.0 is +-inf (nan for 0/0), no exception
+    if g == 0:
+        ratio = math.inf if delta * n > 0 else (math.nan if delta * n == 0 else -math.inf)
+    else:
+        ratio = delta * n / g
+    return ratio - k * math.log(2.0)
 
 
 def point_avg(c: int, l: int) -> float:
@@ -583,15 +588,20 @@ class PairedReadVisitor(BigraphVisitor):
         self._vertices: List[Vertex] = []
 
     def visit(self, graph, vertex):
+        # the reference asserts the mate exists (and would crash in a release
+        # build); skipping unpaired vertices is strictly more robust when
+        # rmdup or trimming removed one mate
         paired = graph.get_vertex(fastx.pairend_id(vertex.id))
-        assert paired is not None, f"missing pair for {vertex.id}"
+        if paired is None:
+            return False
         self._vertices.append(vertex)
         return False
 
     def _process(self, graph: Bigraph, vertex1: Vertex) -> List[search.Node]:
         linklist: List[search.Node] = []
         paired_v1 = graph.get_vertex(fastx.pairend_id(vertex1.id))
-        assert paired_v1 is not None
+        if paired_v1 is None:
+            return linklist
 
         adjacents: List[search.Node] = []
         if len(vertex1.seq) > self.max_distance:
@@ -615,7 +625,8 @@ class PairedReadVisitor(BigraphVisitor):
 
         for node1 in adjacents:
             paired_v2 = graph.get_vertex(fastx.pairend_id(node1.vertex.id))
-            assert paired_v2 is not None
+            if paired_v2 is None:
+                continue
             faraways: List[search.Node] = []
             for dir in (ED_SENSE, ED_ANTISENSE):
                 if faraways:
@@ -734,3 +745,270 @@ class PairedReadVisitor(BigraphVisitor):
         creator = EdgeCreator(graph, True, -1)
         ovr = Overlap.make(v1, coord[0], v2, coord[1], attr.comp == EC_REVERSE, 0)
         creator.create(ovr, color)
+
+
+def _edge_features(vertex: Vertex, edge: Edge, orank: int, n: int, g: int):
+    """The AIVisitor 46-feature vector (src/bigraph_visitors.cpp:1366-1413)."""
+    from . import hifi
+
+    end = edge.end
+    j = k = 0
+    for e in end.edges_dir(ED_ANTISENSE):
+        if e is not edge.twin:
+            if e.coord.length() >= edge.coord.length():
+                j += 1
+            if len(e.start().seq) >= len(vertex.seq):
+                k += 1
+    v2x = hifi.parse_dir(vertex, ED_ANTISENSE)
+    x2y = hifi.parse_pair(vertex.index_tbl, end.index_tbl)
+    y2w = hifi.parse_dir(end, ED_SENSE)
+
+    def block(c):
+        return [
+            float(c[hifi.K_LINK_ALL_X]),
+            float(c[hifi.K_LINK_ALL_Y]),
+            float(c[hifi.K_LINK_COMMON_X]),
+            float(c[hifi.K_LINK_COMMON_Y]),
+            float(c[hifi.K_LINK_MIN]),
+            float(c[hifi.K_LINK_MAX]),
+            float(c[hifi.K_LINK_MID]),
+            hifi.linkr(c[hifi.K_LINK_MIN], c[hifi.K_LINK_COMMON_X], c[hifi.K_LINK_COMMON_Y]),
+            hifi.linkr(c[hifi.K_LINK_MAX], c[hifi.K_LINK_COMMON_X], c[hifi.K_LINK_COMMON_Y]),
+            hifi.linkr(c[hifi.K_LINK_MID], c[hifi.K_LINK_COMMON_X], c[hifi.K_LINK_COMMON_Y]),
+        ]
+
+    return (
+        [
+            float(len(vertex.seq)),
+            float(vertex.coverage),
+            repeatness(vertex, n, g),
+            float(vertex.degrees(ED_ANTISENSE)),
+            float(vertex.degrees(ED_SENSE)),
+            float(orank),
+            float(len(end.seq)),
+            float(end.coverage),
+            repeatness(end, n, g),
+            float(end.degrees(ED_ANTISENSE)),
+            float(end.degrees(ED_SENSE)),
+            float(j),
+        ]
+        + block(v2x)
+        + block(x2y)
+        + block(y2w)
+        + [
+            float(k),
+            float(edge.coord.length()),
+            vertex_avg(vertex),
+            vertex_avg(end),
+        ]
+    )
+
+
+class AIVisitor(BigraphVisitor):
+    """ML edge classifier (reference AIVisitor, HAVE_MLPACK build,
+    src/bigraph_visitors.cpp:1328-1438): per SENSE edge, build the 46-feature
+    vector and ask a bagged model for votes — 0 votes removes the edge,
+    a majority keeps it white."""
+
+    def __init__(self, model, n: int = 0, g: int = 0):
+        self.model = model  # ml.model.BaggingModel-like: classify(vec), size
+        self.n = n
+        self.g = g
+
+    def previsit(self, graph):
+        graph.visit(EdgeColorVisitor(GC_GRAY, twin=True))
+        self.blacks = self.whites = self.grays = 0
+
+    def visit(self, graph, vertex):
+        modified = False
+        edges = sorted(vertex.edges_dir(ED_SENSE), key=lambda e: -e.coord.length())
+        for i, edge in enumerate(edges):
+            vec = _edge_features(vertex, edge, i, self.n, self.g)
+            votes = self.model.classify(vec)
+            if votes < 1:
+                self.blacks += 1
+                edge.color = GC_BLACK
+                edge.twin.color = GC_BLACK
+                modified = True
+            elif votes > self.model.size // 2:
+                self.whites += 1
+                edge.color = GC_WHITE
+                edge.twin.color = GC_WHITE
+            else:
+                self.grays += 1
+        return modified
+
+    def postvisit(self, graph):
+        graph.sweep_edges(GC_BLACK)
+
+
+class UnitigVisitor(BigraphVisitor):
+    """Duplicate a repeat vertex so a unique neighbor can merge through it
+    (src/bigraph_visitors.cpp:1443-1512)."""
+
+    def __init__(self, n: int = 0, g: int = 0, t: float = 0.0):
+        self.n = n
+        self.g = g
+        self.t = t
+
+    def previsit(self, graph):
+        self.unitigs = 0
+
+    def visit(self, graph, vertex):
+        modified = False
+        if repeatness(vertex, self.n, self.g) < self.t:
+            return False
+        for dir in (ED_SENSE, ED_ANTISENSE):
+            edges = vertex.edges_dir(dir)
+            if len(edges) == 1 and repeatness(
+                edges[0].end, self.n, self.g
+            ) < repeatness(vertex, self.n, self.g):
+                end = edges[0].end
+                if end.degrees(ED_SENSE) <= 1 and end.degrees(ED_ANTISENSE) <= 1:
+                    continue
+                tmp = Vertex(
+                    end.id + "_copy",
+                    end.seq,
+                    end.contained,
+                    end.index_str(),
+                    end.coverage,
+                    end.ext_str(),
+                )
+                for edge in end.edges_dir(dir):
+                    e0 = Edge(edge.end, edge.dir, edge.comp, edge.coord.copy())
+                    e1 = Edge(tmp, edge.twin.dir, edge.twin.comp, edge.twin.coord.copy())
+                    e0.color = edge.color
+                    e1.color = edge.twin.color
+                    e0.twin = e1
+                    e1.twin = e0
+                    tmp.add_edge(e0)
+                    edge.end.add_edge(e1)
+                single = edges[0]
+                v0 = Edge(tmp, single.dir, single.comp, single.coord.copy())
+                v1 = Edge(vertex, single.twin.dir, single.twin.comp, single.twin.coord.copy())
+                v0.color = single.color
+                v1.color = single.twin.color
+                v0.twin = v1
+                v1.twin = v0
+                vertex.add_edge(v0)
+                tmp.add_edge(v1)
+
+                vertex.remove_edge(single)
+                end.remove_edge(single.twin)
+
+                assert vertex.degrees(dir) == 1
+                graph.merge(vertex, v0)
+                self.unitigs += 1
+                modified = True
+        return modified
+
+
+class GANVisitor(BigraphVisitor):
+    """Emit labeled training rows for SENSE edges; true positives are found by
+    a reference FM-index lookup of the merged sequence or by matched EX-tag
+    alignments (src/bigraph_visitors.cpp:1517-1698)."""
+
+    def __init__(self, stream, ref_index=None):
+        self.stream = stream
+        self.ref = ref_index
+
+    def previsit(self, graph):
+        graph.visit(EdgeColorVisitor(GC_GRAY, twin=True))
+        self.blacks = self.whites = self.grays = 0
+
+    @staticmethod
+    def _parse_ext(text):
+        out = []
+        for item in text.split(","):
+            if not item:
+                continue
+            vec = item.split("|")
+            if len(vec) < 4:
+                return None
+            out.append((vec[0], vec[1], int(vec[2]), int(vec[3])))
+        return out
+
+    def visit(self, graph, vertex):
+        import re
+
+        from ..core import dna as dna_mod
+        from . import hifi
+
+        cigar_re = re.compile(r"^(\d*)=$")
+        modified = False
+
+        curr = self._parse_ext(vertex.ext_str())
+        if curr is None:
+            return False
+        curr.sort(key=lambda a: (a[1], a[2]))
+
+        edges = sorted(vertex.edges_dir(ED_SENSE), key=lambda e: -e.coord.length())
+        i = 0
+        for p, edge in enumerate(edges):
+            end = edge.end
+            if p > 0 and edge.coord.length() < edges[p - 1].coord.length():
+                i += 1
+            nxt = self._parse_ext(end.ext_str())
+            if nxt is None:
+                continue
+            nxt.sort(key=lambda a: (a[1], a[2]))
+
+            # match alignments offset by the merge geometry
+            x, y = len(vertex.seq), edge.coord.length()
+            pairs = []
+            ii = jj = 0
+            while ii < len(curr) and jj < len(nxt):
+                a, b = curr[ii], nxt[jj]
+                ka = (a[1], a[2] + x)
+                kb = (b[1], b[2] + y)
+                if ka < kb:
+                    ii += 1
+                elif kb < ka:
+                    jj += 1
+                else:
+                    pairs.append((a, b))
+                    ii += 1
+                    jj += 1
+
+            seq = vertex.seq + end.seq[edge.coord.length() :]
+            label = 0
+            if any(
+                cigar_re.match(m[0][0]) and cigar_re.match(m[1][0]) for m in pairs
+            ):
+                label = 1
+            elif self.ref is not None and self.ref.occurrences(seq) > 0:
+                label = 1
+            if label == 0:
+                self.blacks += 1
+                edge.color = GC_BLACK
+                edge.twin.color = GC_BLACK
+                modified = True
+            else:
+                self.whites += 1
+                edge.color = GC_WHITE
+                edge.twin.color = GC_WHITE
+
+            v2x = hifi.parse_dir(vertex, ED_ANTISENSE)
+            x2y = hifi.parse_pair(vertex.index_tbl, end.index_tbl)
+            y2w = hifi.parse_dir(end, ED_SENSE)
+            row = [
+                label,
+                vertex.id,
+                end.id,
+                len(vertex.seq),
+                vertex.coverage,
+                vertex.degrees(ED_ANTISENSE),
+                vertex.degrees(ED_SENSE),
+                i,
+                len(end.seq),
+                end.coverage,
+                end.degrees(ED_ANTISENSE),
+                end.degrees(ED_SENSE),
+                int(edge.is_self()),
+                edge.coord.length(),
+            ] + v2x + x2y + y2w
+            self.stream.write("\t".join(str(v) for v in row) + "\n")
+        return modified
+
+    def postvisit(self, graph):
+        graph.sweep_edges(GC_BLACK)
