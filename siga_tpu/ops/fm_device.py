@@ -177,10 +177,34 @@ def _next_pow2(n: int) -> int:
 
 
 class StageAScanner:
-    """Runs the stage-A scan for one (index, rindex) orientation pair."""
+    """Runs the stage-A scan for one (index, rindex) orientation pair.
 
-    def __init__(self, dfm: DeviceFM):
+    With a mesh, read lanes shard over the `data` axis and the index tables
+    replicate (GSPMD partitions the scan; lanes are independent) — the TPU
+    analog of the reference's per-thread read fan-out
+    (src/parallel_framework.h:16-59).
+    """
+
+    def __init__(self, dfm: DeviceFM, mesh=None):
         self.dfm = dfm
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.dfm.codes = jax.device_put(self.dfm.codes, repl)
+            self.dfm.checkpoints = jax.device_put(self.dfm.checkpoints, repl)
+            self.dfm.pred = jax.device_put(self.dfm.pred, repl)
+            self._lane_sharding = NamedSharding(mesh, P("data", None))
+            self._vec_sharding = NamedSharding(mesh, P("data"))
+
+    def _put(self, chars: np.ndarray, lens: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(chars), jnp.asarray(lens)
+        return (
+            jax.device_put(chars, self._lane_sharding),
+            jax.device_put(lens, self._vec_sharding),
+        )
 
     def dispatch(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
         """Launch the scan asynchronously; returns a handle for collect()."""
@@ -195,8 +219,7 @@ class StageAScanner:
         chars[np.arange(num_lanes), max_t] = seqs_ranks[
             np.arange(num_lanes), lens - 1
         ]
-        chars_d = jnp.asarray(chars)
-        lens_d = jnp.asarray(lens.astype(np.int32))
+        chars_d, lens_d = self._put(chars, lens.astype(np.int32))
 
         cap = _next_pow2(max(4 * num_lanes, 1024))
         out = _scan_stage_a_compact(

@@ -104,14 +104,24 @@ class _Containments:
 
 
 def batch_overlap_hits(
-    builder: OverlapBuilder, records, min_overlap: int
+    builder: OverlapBuilder, records, min_overlap: int, mesh=None
 ) -> Iterator[Hit]:
-    """Yield one Hit per read, device stage A + host stages B/C."""
+    """Yield one Hit per read, device stage A + host stages B/C.
+
+    With mesh (or multiple visible devices), read lanes shard data-parallel
+    across the mesh with the FM-index replicated."""
+    if mesh is None:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ..parallel.dist import data_mesh
+
+            mesh = data_mesh()
     fmi, rfmi = builder.fmi, builder.rfmi
     dfwd = DeviceFM(fmi)
     drev = DeviceFM(rfmi)
-    fwd_scanner = StageAScanner(dfwd)
-    rev_scanner = StageAScanner(drev)
+    fwd_scanner = StageAScanner(dfwd, mesh)
+    rev_scanner = StageAScanner(drev, mesh)
 
     # fixed shapes across chunks: one compile serves the whole run
     chunk_reads = min(CHUNK_READS, max(64, len(records)))

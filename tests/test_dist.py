@@ -1,0 +1,38 @@
+"""Data-parallel overlap over a multi-device mesh (virtual 8-device CPU)."""
+import random
+
+import jax
+import pytest
+
+from siga_tpu.index import sa as sa_mod
+from siga_tpu.index.fm import FMIndex
+from siga_tpu.io.fastx import DNASeq
+from siga_tpu.overlap.builder import Hit, OverlapBuilder
+from siga_tpu.ops.search import batch_overlap_hits
+from siga_tpu.parallel.dist import data_mesh
+
+
+def test_mesh_overlap_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest forces an 8-device CPU mesh"
+    rng = random.Random(9)
+    genome = "".join(rng.choice("ACGT") for _ in range(500))
+    seqs = [genome[i : i + 64] for i in range(0, 380, 12)]
+    fwd, _p, ns = sa_mod.build_index_arrays(seqs)
+    rev, _rp, _ = sa_mod.build_index_arrays([s[::-1] for s in seqs])
+    fmi, rfmi = FMIndex(fwd, ns), FMIndex(rev, ns)
+    records = [DNASeq(name=f"r{i}", seq=s) for i, s in enumerate(seqs)]
+
+    builder = OverlapBuilder(fmi, rfmi)
+    host_lines = []
+    for i, rec in enumerate(records):
+        hit = Hit(idx=i)
+        res = builder.overlap(rec.seq, 30, hit.blocks)
+        hit.substring = res.substring
+        host_lines.append(hit.serialize())
+
+    mesh = data_mesh(8)
+    dev_lines = [
+        h.serialize()
+        for h in batch_overlap_hits(builder, records, 30, mesh=mesh)
+    ]
+    assert dev_lines == host_lines
