@@ -59,7 +59,7 @@ def main():
     records = [DNASeq(name=f"r{i}", seq=s) for i, s in enumerate(seqs)]
 
     # warmup (compile) with the same chunk shape as the timed run
-    warm = records[:2048]
+    warm = records[:8192]
     for _hit in batch_overlap_hits(builder, warm, min_overlap):
         pass
 

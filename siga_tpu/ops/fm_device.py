@@ -35,6 +35,35 @@ class DeviceFM:
         self.checkpoints = jnp.asarray(host.checkpoints, dtype=jnp.int32)
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
         self.totals = jnp.asarray(host.totals, dtype=jnp.int32)
+        # 2-bit-packed symbol words + '$' bitmask for popcount occ:
+        # word j of a block covers symbols [16j, 16j+16), little-end first;
+        # '$' packs as 0 (alias of A) and is corrected via the mask plane.
+        sym = padded.reshape(nblocks, SAMPLE).astype(np.uint32)
+        two_bit = np.where(sym == 0, 0, sym - 1)  # $->0(A), A..T -> 0..3
+        shifts = (2 * (np.arange(SAMPLE) % 16)).astype(np.uint32)
+        words = np.zeros((nblocks, SAMPLE // 16), dtype=np.uint32)
+        np.add.at(
+            words,
+            (np.arange(nblocks)[:, None], np.arange(SAMPLE)[None, :] // 16),
+            two_bit << shifts[None, :],
+        )
+        dollar = np.zeros((nblocks, SAMPLE // 32), dtype=np.uint32)
+        dbit = (sym == 0).astype(np.uint32)
+        np.add.at(
+            dollar,
+            (np.arange(nblocks)[:, None], np.arange(SAMPLE)[None, :] // 32),
+            dbit << (np.arange(SAMPLE) % 32).astype(np.uint32),
+        )
+        self.packed_words = jnp.asarray(words.view(np.int32))
+        self.dollar_words = jnp.asarray(dollar.view(np.int32))
+
+    def occ_args(self):
+        return (
+            self.packed_words,
+            self.dollar_words,
+            self.checkpoints,
+            jnp.int32(self.length),
+        )
 
     def tree(self):
         return (self.codes, self.checkpoints, self.pred, jnp.int32(self.length))
@@ -63,6 +92,56 @@ def occ_all(codes, checkpoints, length, i):
     return base + jnp.concatenate([dollar[..., None], acgt], axis=-1)
 
 
+_NWORDS = SAMPLE // 16
+_NDWORDS = SAMPLE // 32
+
+
+def occ_all_packed(words, dollars, checkpoints, length, i):
+    """popcount occ over 2-bit-packed words: i int32 [Q] -> [Q, 5] int32.
+
+    Each query gathers 8 symbol words + 4 '$'-mask words + 1 checkpoint row
+    (68 bytes) instead of a 128-byte tail row; counting is
+    lax.population_count on the VPU.
+    """
+    popcount = jax.lax.population_count
+    pos = i + 1
+    block = pos // SAMPLE
+    base = checkpoints[block]
+    w = words[block].astype(jnp.uint32)  # [Q, 8]
+    d = dollars[block].astype(jnp.uint32)  # [Q, 4]
+    tail_len = (pos - block * SAMPLE).astype(jnp.uint32)  # 0..SAMPLE
+
+    # per-word valid-symbol masks
+    widx = jnp.arange(_NWORDS, dtype=jnp.uint32) * 16
+    valid = jnp.clip(
+        tail_len[..., None].astype(jnp.int32) - widx[None, :].astype(jnp.int32), 0, 16
+    ).astype(jnp.uint32)
+    full = valid == 16
+    wmask = jnp.where(full, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1)
+
+    didx = jnp.arange(_NDWORDS, dtype=jnp.uint32) * 32
+    dvalid = jnp.clip(
+        tail_len[..., None].astype(jnp.int32) - didx[None, :].astype(jnp.int32), 0, 32
+    ).astype(jnp.uint32)
+    dfull = dvalid == 32
+    dmask = jnp.where(dfull, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << dvalid) - 1)
+
+    n_dollar = popcount(d & dmask).sum(axis=-1).astype(jnp.int32)
+
+    lo_bits = jnp.uint32(0x55555555)
+
+    def count2(pattern):
+        x = w ^ pattern
+        matched = ~(x | (x >> 1)) & lo_bits
+        return popcount(matched & wmask).sum(axis=-1).astype(jnp.int32)
+
+    c_a = count2(jnp.uint32(0x00000000)) - n_dollar  # '$' packs as 0
+    c_c = count2(lo_bits)
+    c_g = count2(jnp.uint32(0xAAAAAAAA))
+    c_t = count2(jnp.uint32(0xFFFFFFFF))
+    return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=-1)
+
+
 def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
     """IntervalPair.updateL with precomputed occ counts at lo-1 and hi.
 
@@ -86,24 +165,27 @@ def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _scan_stage_a_compact(
-    max_t, min_overlap, cap, codes, checkpoints, pred, length, chars, lens
+    max_t, min_overlap, cap, words, dollars, checkpoints, pred, length, chars, lens
 ):
     """Like _scan_stage_a but compacts the sparse valid blocks on device so
     only ~cap block records cross the host link (the tunnel transfer is the
     bottleneck, not compute)."""
     emitted, valid, final, lext = _scan_stage_a(
-        max_t, min_overlap, codes, checkpoints, pred, length, chars, lens
+        max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens
     )
     t_dim, lanes = valid.shape
     flat_valid = valid.reshape(-1)
     count = flat_valid.sum(dtype=jnp.int32)
     (idx,) = jnp.nonzero(flat_valid, size=cap, fill_value=t_dim * lanes - 1)
     data = emitted.reshape(t_dim * lanes, 8)[idx]
-    return count, idx.astype(jnp.int32), data, final, lext
+    # substring pre-classification: any DNA left-extension of the full
+    # interval (the other index's rext check happens host-side)
+    lext_has_dna = (lext[:, 1:].sum(axis=-1) > 0).astype(jnp.int8)
+    return count, idx.astype(jnp.int32), data, final, lext_has_dna
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, lens):
+def _scan_stage_a(max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens):
     """Backward-search scan with '$'-probes over a batch of lanes.
 
     chars: int32 [L, T] update symbols (chars[:, t] = seq[l-2-t], garbage when
@@ -114,7 +196,7 @@ def _scan_stage_a(max_t, min_overlap, codes, checkpoints, pred, length, chars, l
     num_lanes = chars.shape[0]
 
     def occ(i):
-        return occ_all(codes, checkpoints, length, i)
+        return occ_all_packed(words, dollars, checkpoints, length, i)
 
     # init with the last character of each read: interval over all of fmi
     c0 = chars[:, max_t]  # by construction chars[:, T] holds seq[l-1]
@@ -188,6 +270,7 @@ class StageAScanner:
     def __init__(self, dfm: DeviceFM, mesh=None):
         self.dfm = dfm
         self.mesh = mesh
+        self._cap = 1024  # adaptive: grows to fit the observed block count
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -195,6 +278,8 @@ class StageAScanner:
             self.dfm.codes = jax.device_put(self.dfm.codes, repl)
             self.dfm.checkpoints = jax.device_put(self.dfm.checkpoints, repl)
             self.dfm.pred = jax.device_put(self.dfm.pred, repl)
+            self.dfm.packed_words = jax.device_put(self.dfm.packed_words, repl)
+            self.dfm.dollar_words = jax.device_put(self.dfm.dollar_words, repl)
             self._lane_sharding = NamedSharding(mesh, P("data", None))
             self._vec_sharding = NamedSharding(mesh, P("data"))
 
@@ -221,12 +306,13 @@ class StageAScanner:
         ]
         chars_d, lens_d = self._put(chars, lens.astype(np.int32))
 
-        cap = _next_pow2(max(4 * num_lanes, 1024))
+        cap = self._cap
         out = _scan_stage_a_compact(
             max_t,
             min_overlap,
             cap,
-            self.dfm.codes,
+            self.dfm.packed_words,
+            self.dfm.dollar_words,
             self.dfm.checkpoints,
             self.dfm.pred,
             jnp.int32(self.dfm.length),
@@ -240,11 +326,13 @@ class StageAScanner:
         nblocks = int(count)
         while nblocks > cap:
             cap = _next_pow2(nblocks)
+            self._cap = cap  # remember for future dispatches
             count, idx, data, final, lext = _scan_stage_a_compact(
                 max_t,
                 min_overlap,
                 cap,
-                self.dfm.codes,
+                self.dfm.packed_words,
+                self.dfm.dollar_words,
                 self.dfm.checkpoints,
                 self.dfm.pred,
                 jnp.int32(self.dfm.length),
@@ -253,8 +341,11 @@ class StageAScanner:
             )
             nblocks = int(count)
 
-        idx = np.asarray(idx[:nblocks], dtype=np.int64)
-        data = np.asarray(data[:nblocks])
+        # device-side slice before transfer (pow2 buckets bound the number of
+        # distinct slice shapes): only ~real blocks cross the link
+        k = min(_next_pow2(max(nblocks, 1)), cap)
+        idx = np.asarray(idx[:k])[:nblocks].astype(np.int64)
+        data = np.asarray(data[:k])[:nblocks]
         final = np.asarray(final)
         lext = np.asarray(lext)
         lane = idx % num_lanes

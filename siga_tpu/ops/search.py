@@ -28,7 +28,7 @@ from ..overlap.builder import (
 )
 from .fm_device import DeviceFM, StageAScanner
 
-CHUNK_READS = 2048
+CHUNK_READS = 8192
 
 
 def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
@@ -71,13 +71,12 @@ class _Containments:
     (the other index's occ for rext + the final '$' right-update, computed in
     two batched occ pairs)."""
 
-    def __init__(self, final: np.ndarray, lext: np.ndarray, rindex: FMIndex):
+    def __init__(self, final: np.ndarray, lext_has_dna: np.ndarray, rindex: FMIndex):
         self.final = final
-        self.lext = lext
         frlo = final[:, 2].astype(np.int64)
         frhi = final[:, 3].astype(np.int64)
         rext = rindex.occ_all(frhi) - rindex.occ_all(frlo - 1)
-        self.substring = (lext[:, 1:].sum(axis=1) > 0) | (rext[:, 1:].sum(axis=1) > 0)
+        self.substring = (lext_has_dna.astype(bool)) | (rext[:, 1:].sum(axis=1) > 0)
         prlo = final[:, 6].astype(np.int64)
         prhi = final[:, 7].astype(np.int64)
         self.p_l = rindex.occ_all(prlo - 1)
