@@ -48,6 +48,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             try:
                 lib = _build()
                 lib.siga_extract_irreducible.restype = ctypes.c_int64
+                lib.siga_process_chunk.restype = ctypes.c_int64
                 _lib = lib
             except Exception:
                 _lib = None
@@ -132,3 +133,78 @@ class NativeExtractor:
             out.append(out_blocks[off : off + k * 10].reshape(k, 10).copy())
             off += k * 10
         return out, out_failed
+
+
+class NativeChunkProcessor:
+    """ctypes facade over siga_process_chunk: stages B+C for a whole chunk."""
+
+    def __init__(self, fmi, rfmi, threads: int = 0):
+        self.lib = get_lib()
+        assert self.lib is not None
+        self.threads = threads
+        ext = NativeExtractor(fmi, rfmi, threads)
+        self.fwd = ext.fwd
+        self.rev = ext.rev
+
+    def run(
+        self,
+        read_lens: np.ndarray,
+        rc: bool,
+        irreducible: bool,
+        lane_stride: int,
+        f_scan,
+        r_scan,
+    ):
+        """f_scan/r_scan: (starts, t, data, final, lext) numpy arrays from
+        StageAScanner (blocks sorted by lane).  Returns (per-read block
+        arrays, substring flags, failed flags)."""
+        n_reads = len(read_lens)
+
+        def prep(scan):
+            starts, t, data, final, lext = scan
+            return (
+                np.ascontiguousarray(starts.astype(np.int64)),
+                np.ascontiguousarray(t.astype(np.int64)),
+                np.ascontiguousarray(data.astype(np.int64).reshape(-1)),
+                np.ascontiguousarray(final.astype(np.int64).reshape(-1)),
+                np.ascontiguousarray(lext.astype(np.uint8)),
+            )
+
+        f = prep(f_scan)
+        r = prep(r_scan)
+        lens64 = np.ascontiguousarray(read_lens.astype(np.int64))
+        out_counts = np.zeros(n_reads, dtype=np.int64)
+        out_substring = np.zeros(n_reads, dtype=np.uint8)
+        out_failed = np.zeros(n_reads, dtype=np.uint8)
+        total_in = (len(f[1]) + len(r[1]) + 8 * n_reads) * 10
+        cap = max(4 * total_in, 4096)
+        u8 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        while True:
+            out_blocks = np.empty(cap, dtype=np.int64)
+            total = self.lib.siga_process_chunk(
+                ctypes.c_int64(n_reads),
+                _i64(lens64),
+                ctypes.c_int(1 if rc else 0),
+                ctypes.c_int(1 if irreducible else 0),
+                ctypes.c_int64(lane_stride),
+                _i64(f[0]), _i64(f[1]), _i64(f[2]), _i64(f[3]), u8(f[4]),
+                _i64(r[0]), _i64(r[1]), _i64(r[2]), _i64(r[3]), u8(r[4]),
+                _i64(self.fwd[0]), _i64(self.fwd[1]), _i64(self.fwd[2]),
+                _i64(self.rev[0]), _i64(self.rev[1]), _i64(self.rev[2]),
+                ctypes.c_int64(cap),
+                _i64(out_blocks),
+                _i64(out_counts),
+                u8(out_substring),
+                u8(out_failed),
+                ctypes.c_int64(self.threads),
+            )
+            if total >= 0:
+                break
+            cap *= 4
+        out = []
+        off = 0
+        for i in range(n_reads):
+            k = int(out_counts[i])
+            out.append(out_blocks[off : off + k * 10].reshape(k, 10).copy())
+            off += k * 10
+        return out, out_substring, out_failed

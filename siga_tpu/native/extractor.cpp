@@ -232,3 +232,351 @@ int64_t siga_extract_irreducible(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full per-read processing: build orientation block lists from raw scan
+// arrays, containment classification, submaximal filtering (reference
+// SubMaximalBlockFilter, src/overlap_builder.cpp:914-1092 incl. the rare
+// remap path), containment-length removal, then irreducible extraction.
+// One call processes a whole chunk of reads, OpenMP-parallel.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int AF_SP = 0b000;
+constexpr int AF_SS = 0b110;
+constexpr int AF_PP = 0b101;
+constexpr int AF_PS = 0b011;
+
+static inline void occ_all(const Index& ix, int64_t i, int64_t* out) {
+  for (int c = 0; c < 5; ++c) out[c] = occ(ix, c, i);
+}
+
+// BWT symbol at position i: the symbol whose position list contains i
+static inline int get_char(const Index& ix, int64_t i) {
+  for (int c = 0; c < 5; ++c) {
+    const int64_t* a = ix.pos[c];
+    int64_t lo = 0, hi = ix.len[c];
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (a[mid] < i) lo = mid + 1; else hi = mid;
+    }
+    if (lo < ix.len[c] && a[lo] == i) return c;
+  }
+  return 0;
+}
+
+// IntervalPair::updateL(c, index): v = [lo,hi,rlo,rhi]
+static inline void update_left_pair(int64_t* v, int c, const Index& index) {
+  int64_t l[5], u[5];
+  occ_all(index, v[0] - 1, l);
+  occ_all(index, v[1], u);
+  int64_t below = 0;
+  for (int i = 0; i < c; ++i) below += u[i] - l[i];
+  v[2] = v[2] + below;
+  v[3] = v[2] + (u[c] - l[c]) - 1;
+  v[0] = index.pred[c] + l[c];
+  v[1] = index.pred[c] + u[c] - 1;
+}
+
+// IntervalPair::updateR(c, rindex)
+static inline void update_right_pair(int64_t* v, int c, const Index& rindex) {
+  int64_t l[5], u[5];
+  occ_all(rindex, v[2] - 1, l);
+  occ_all(rindex, v[3], u);
+  int64_t below = 0;
+  for (int i = 0; i < c; ++i) below += u[i] - l[i];
+  v[0] = v[0] + below;
+  v[1] = v[0] + (u[c] - l[c]) - 1;
+  v[2] = rindex.pred[c] + l[c];
+  v[3] = rindex.pred[c] + u[c] - 1;
+}
+
+// FMIndex::Interval::update on a single interval
+static inline void update_interval(int64_t* lo, int64_t* hi, int c,
+                                   const Index& index) {
+  int64_t a = occ(index, c, *lo - 1);
+  int64_t b = occ(index, c, *hi);
+  *lo = index.pred[c] + a;
+  *hi = index.pred[c] + b - 1;
+}
+
+static inline bool pair_valid(const int64_t* v) {
+  return v[1] >= v[0] && v[1] >= 0 && v[3] >= v[2] && v[3] >= 0;
+}
+
+typedef std::vector<Block> BlockList;
+
+static inline bool intersecting(int64_t s1, int64_t e1, int64_t s2, int64_t e2) {
+  return !(s1 > e2 || s2 > e1);
+}
+
+// reference SubMaximalBlockFilter::resolve
+static void resolve_blocks(const Block& x, const Block& y, const Index& fmi,
+                           const Index& rfmi, BlockList* resolved) {
+  const Block* higher = &x;
+  const Block* lower = &y;
+  if (higher->v[8] < lower->v[8]) std::swap(higher, lower);
+  resolved->push_back(*higher);
+  if (higher->v[8] == lower->v[8]) {
+    return;  // same length implies same coordinates
+  }
+  if (lower->v[0] < higher->v[0] || lower->v[1] > higher->v[1]) {
+    // rare remap path: map each reverse position to its forward position by
+    // walking the reverse index until '$'
+    std::vector<std::pair<int64_t, int64_t>> used;  // (key, next) map
+    auto used_get = [&](int64_t k) -> int64_t {
+      for (auto& kv : used)
+        if (kv.first == k) return kv.second;
+      return k;
+    };
+    auto used_set = [&](int64_t k, int64_t v2) {
+      for (auto& kv : used)
+        if (kv.first == k) { kv.second = v2; return; }
+      used.emplace_back(k, v2);
+    };
+    std::vector<std::pair<int64_t, int64_t>> tracing;  // (forward, reverse)
+    for (int64_t j = lower->v[2]; j <= lower->v[3]; ++j) {
+      int64_t ranges[4] = {lower->v[4], lower->v[5], lower->v[6], lower->v[7]};
+      int64_t tlo = j, thi = j;
+      while (true) {
+        int c = get_char(rfmi, tlo);
+        bool done = (c == 0);
+        if (done) update_left_pair(ranges, 0, fmi);
+        update_interval(&tlo, &thi, c, rfmi);
+        update_right_pair(ranges, c, rfmi);
+        if (done) break;
+      }
+      int64_t fwd_pos;
+      if (ranges[0] == ranges[1]) {
+        fwd_pos = ranges[0];
+      } else {
+        int64_t k = ranges[0];
+        int64_t idx = used_get(k);
+        fwd_pos = idx;
+        used_set(k, idx + 1);
+      }
+      tracing.emplace_back(fwd_pos, j);
+    }
+    for (auto& fr : tracing) {
+      if (!intersecting(fr.first, fr.first, higher->v[0], higher->v[1])) {
+        Block split = *lower;
+        split.v[0] = fr.first;
+        split.v[1] = fr.first;
+        split.v[2] = fr.second;
+        split.v[3] = fr.second;
+        resolved->push_back(split);
+      }
+    }
+  }
+}
+
+// reference SubMaximalBlockFilter::filter
+static void submaximal_filter(BlockList* blocks, const Index& fmi,
+                              const Index& rfmi) {
+  if (blocks->empty()) return;
+  std::stable_sort(blocks->begin(), blocks->end(),
+                   [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
+  size_t prev = 0;
+  while (prev + 1 < blocks->size()) {
+    size_t curr = prev + 1;
+    Block& x = (*blocks)[prev];
+    Block& y = (*blocks)[curr];
+    if (intersecting(x.v[0], x.v[1], y.v[0], y.v[1])) {
+      BlockList resolved;
+      resolve_blocks(x, y, fmi, rfmi, &resolved);
+      std::stable_sort(resolved.begin(), resolved.end(),
+                       [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
+      blocks->erase(blocks->begin() + curr);
+      blocks->erase(blocks->begin() + prev);
+      // stable merge keeps sorted order
+      BlockList merged;
+      merged.reserve(blocks->size() + resolved.size());
+      size_t i = 0, j = 0;
+      while (i < blocks->size() && j < resolved.size()) {
+        if (resolved[j].v[0] < (*blocks)[i].v[0]) merged.push_back(resolved[j++]);
+        else merged.push_back((*blocks)[i++]);
+      }
+      for (; i < blocks->size(); ++i) merged.push_back((*blocks)[i]);
+      for (; j < resolved.size(); ++j) merged.push_back(resolved[j]);
+      blocks->swap(merged);
+      prev = 0;
+    } else {
+      ++prev;
+    }
+  }
+}
+
+static inline Block make_block(const int64_t* data8, int64_t length, int af) {
+  Block b;
+  for (int i = 0; i < 8; ++i) b.v[i] = data8[i];
+  b.v[8] = length;
+  b.v[9] = af;
+  b.tr = (af >> TARGETREV_BIT) & 1;
+  b.qc = (af >> QUERYCOMP_BIT) & 1;
+  return b;
+}
+
+struct ScanLane {
+  const int64_t* t;      // block t values (sorted per lane)
+  const int64_t* data;   // block 8-int records
+  int64_t begin, end;    // block index range for this lane
+};
+
+// containment classification for one lane; returns true if a contain block
+// was produced in *out
+static bool containment_for_lane(const int64_t* final8, uint8_t lext_has_dna,
+                                 int64_t seqlen, int af, const Index& other,
+                                 bool* substring, Block* out) {
+  if (lext_has_dna) { *substring = true; return false; }
+  int64_t rext[5], l[5], u[5];
+  occ_all(other, final8[2] - 1, l);
+  occ_all(other, final8[3], u);
+  int64_t dna = 0;
+  for (int c = 1; c < 5; ++c) dna += (u[c] - l[c]);
+  if (dna > 0) { *substring = true; return false; }
+  (void)rext;
+  int64_t probe[4] = {final8[4], final8[5], final8[6], final8[7]};
+  if (!pair_valid(probe)) return false;
+  update_right_pair(probe, 0, other);
+  Block b;
+  b.v[0] = probe[0]; b.v[1] = probe[1]; b.v[2] = probe[2]; b.v[3] = probe[3];
+  b.v[4] = final8[0]; b.v[5] = final8[1]; b.v[6] = final8[2]; b.v[7] = final8[3];
+  b.v[8] = seqlen;
+  b.v[9] = af;
+  b.tr = (af >> TARGETREV_BIT) & 1;
+  b.qc = (af >> QUERYCOMP_BIT) & 1;
+  *out = b;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Process a chunk of reads end-to-end (stages B+C).  Returns total emitted
+// int64s or -1 if out_cap insufficient.
+int64_t siga_process_chunk(
+    int64_t n_reads, const int64_t* read_lens, int rc, int irreducible,
+    int64_t lane_stride,
+    // fwd scanner arrays (lanes: [0..n) SP, [stride..stride+n) PP)
+    const int64_t* f_starts,  // [2*lane_stride+1] block range per lane
+    const int64_t* f_t, const int64_t* f_data,
+    const int64_t* f_final, const uint8_t* f_lext,
+    // rev scanner arrays (lanes: PS, SS)
+    const int64_t* r_starts, const int64_t* r_t, const int64_t* r_data,
+    const int64_t* r_final, const uint8_t* r_lext,
+    // indexes
+    const int64_t* fwd_pos, const int64_t* fwd_off, const int64_t* fwd_pred,
+    const int64_t* rev_pos, const int64_t* rev_off, const int64_t* rev_pred,
+    // outputs
+    int64_t out_cap, int64_t* out_blocks, int64_t* out_counts,
+    uint8_t* out_substring, uint8_t* out_failed, int64_t n_threads) {
+  Index fwd, rev;
+  for (int c = 0; c < 5; ++c) {
+    fwd.pos[c] = fwd_pos + fwd_off[c];
+    fwd.len[c] = fwd_off[c + 1] - fwd_off[c];
+    rev.pos[c] = rev_pos + rev_off[c];
+    rev.len[c] = rev_off[c + 1] - rev_off[c];
+  }
+  fwd.pred = fwd_pred;
+  rev.pred = rev_pred;
+
+  std::vector<std::vector<int64_t>> outs(n_reads);
+#ifdef _OPENMP
+  if (n_threads > 0) omp_set_num_threads((int)n_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t k = 0; k < n_reads; ++k) {
+    int64_t seqlen = read_lens[k];
+    bool substring = false;
+    BlockList suffixfwd, suffixrev, prefixfwd, prefixrev, containfwd, containrev;
+
+    auto load_lane = [&](const int64_t* starts, const int64_t* t,
+                         const int64_t* data, int64_t lane, int af,
+                         BlockList* out_list) {
+      for (int64_t i = starts[lane]; i < starts[lane + 1]; ++i)
+        out_list->push_back(make_block(data + i * 8, t[i] + 1, af));
+    };
+    load_lane(f_starts, f_t, f_data, k, AF_SP, &suffixfwd);
+    load_lane(r_starts, r_t, r_data, k, AF_PS, &prefixrev);
+    if (rc) {
+      load_lane(f_starts, f_t, f_data, lane_stride + k, AF_PP, &prefixfwd);
+      load_lane(r_starts, r_t, r_data, lane_stride + k, AF_SS, &suffixrev);
+    }
+
+    Block cb;
+    // containment order: SP, PP -> containfwd; PS, SS -> containrev
+    if (containment_for_lane(f_final + k * 8, f_lext[k], seqlen, AF_SP, rev,
+                             &substring, &cb))
+      containfwd.push_back(cb);
+    if (rc && containment_for_lane(f_final + (lane_stride + k) * 8,
+                                   f_lext[lane_stride + k], seqlen, AF_PP, rev,
+                                   &substring, &cb))
+      containfwd.push_back(cb);
+    if (containment_for_lane(r_final + k * 8, r_lext[k], seqlen, AF_PS, fwd,
+                             &substring, &cb))
+      containrev.push_back(cb);
+    if (rc && containment_for_lane(r_final + (lane_stride + k) * 8,
+                                   r_lext[lane_stride + k], seqlen, AF_SS, fwd,
+                                   &substring, &cb))
+      containrev.push_back(cb);
+
+    // stage B: copy containments in, filter, drop full-length blocks
+    for (const auto& b : containfwd) { suffixfwd.push_back(b); prefixfwd.push_back(b); }
+    for (const auto& b : containrev) { suffixrev.push_back(b); prefixrev.push_back(b); }
+    submaximal_filter(&suffixfwd, fwd, rev);
+    submaximal_filter(&prefixfwd, fwd, rev);
+    submaximal_filter(&suffixrev, rev, fwd);
+    submaximal_filter(&prefixrev, rev, fwd);
+    auto drop_full = [&](BlockList* l) {
+      BlockList keep;
+      keep.reserve(l->size());
+      for (auto& b : *l) if (b.v[8] != seqlen) keep.push_back(b);
+      l->swap(keep);
+    };
+    drop_full(&suffixfwd);
+    drop_full(&prefixfwd);
+    drop_full(&suffixrev);
+    drop_full(&prefixrev);
+
+    std::vector<int64_t>& out = outs[k];
+    for (const auto& b : containfwd) out.insert(out.end(), b.v, b.v + REC);
+    for (const auto& b : containrev) out.insert(out.end(), b.v, b.v + REC);
+
+    // join suffix/prefix lists
+    for (const auto& b : suffixrev) suffixfwd.push_back(b);
+    for (const auto& b : prefixrev) prefixfwd.push_back(b);
+
+    bool failed = false;
+    if (irreducible) {
+      auto run_list = [&](BlockList& list) {
+        std::vector<int64_t> flat(list.size() * REC);
+        for (size_t i = 0; i < list.size(); ++i)
+          std::memcpy(flat.data() + i * REC, list[i].v, sizeof(list[i].v));
+        if (!run_task(flat.data(), (int64_t)list.size(), fwd, rev, &out))
+          failed = true;
+      };
+      run_list(suffixfwd);
+      run_list(prefixfwd);
+    } else {
+      for (const auto& b : suffixfwd) out.insert(out.end(), b.v, b.v + REC);
+      for (const auto& b : prefixfwd) out.insert(out.end(), b.v, b.v + REC);
+    }
+    out_substring[k] = substring ? 1 : 0;
+    out_failed[k] = failed ? 1 : 0;
+    out_counts[k] = (int64_t)(out.size() / REC);
+  }
+
+  int64_t total = 0;
+  for (int64_t k = 0; k < n_reads; ++k) total += (int64_t)outs[k].size();
+  if (total > out_cap) return -1;
+  int64_t off = 0;
+  for (int64_t k = 0; k < n_reads; ++k) {
+    std::memcpy(out_blocks + off, outs[k].data(), outs[k].size() * sizeof(int64_t));
+    off += (int64_t)outs[k].size();
+  }
+  return total;
+}
+
+}  // extern "C"

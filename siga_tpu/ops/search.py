@@ -159,6 +159,24 @@ def batch_overlap_hits(
         f_lane, f_t, f_data, f_fi, f_le = fwd_scanner.collect(fh)
         r_lane, r_t, r_data, r_fi, r_le = rev_scanner.collect(rh)
         num_lanes = 2 * n if builder.rc else n
+
+        proc = _native_chunk_processor(builder)
+        if proc is not None:
+            lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
+            f_starts = np.searchsorted(f_lane, np.arange(num_lanes + 1))
+            r_starts = np.searchsorted(r_lane, np.arange(num_lanes + 1))
+            outs, substr, failed = proc.run(
+                lens_chunk,
+                builder.rc,
+                builder.irreducible,
+                n,
+                (f_starts, f_t, f_data, f_fi, f_le),
+                (r_starts, r_t, r_data, r_fi, r_le),
+            )
+            for k, rec in enumerate(chunk):
+                yield _LazyHit(start + k, bool(substr[k]), outs[k])
+            continue
+
         f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
         r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
         f_contain = _Containments(f_fi, f_le, rfmi)
@@ -229,6 +247,52 @@ def batch_overlap_hits(
                 hit.blocks.extend(t_p.out)
             hit.substring = result.substring
             yield hit
+
+
+class _LazyHit(Hit):
+    """Hit backed by a raw (n, 10) block array: serializes without
+    materializing OverlapBlock objects; `blocks` builds them on access."""
+
+    def __init__(self, idx, substring, array):
+        self.idx = idx
+        self.substring = substring
+        self._array = array
+        self._blocks = None
+
+    @property
+    def blocks(self):
+        if self._blocks is None:
+            self._blocks = _array_to_blocks(self._array)
+        return self._blocks
+
+    @blocks.setter
+    def blocks(self, value):
+        self._blocks = value
+
+    def serialize(self) -> str:
+        if self._blocks is not None:
+            return Hit.serialize(self)
+        rows = self._array.tolist()
+        parts = [f"{self.idx} {int(self.substring)} {len(rows)} "]
+        for v in rows:
+            parts.append(
+                f"{v[0]} {v[1]} {v[2]} {v[3]} {v[4]} {v[5]} {v[6]} {v[7]} "
+                f"{v[8]} {format(v[9], '03b')} "
+            )
+        return "".join(parts)
+
+
+def _native_chunk_processor(builder):
+    if getattr(builder, "_native_chunk", False) is False:
+        from .. import native
+
+        if native.available():
+            builder._native_chunk = native.NativeChunkProcessor(
+                builder.fmi, builder.rfmi
+            )
+        else:
+            builder._native_chunk = None
+    return builder._native_chunk
 
 
 def _native_extractor(builder):
