@@ -46,6 +46,12 @@ def main():
     from siga_tpu.ops.search import batch_overlap_hits
 
     seqs = simulate_reads(num_reads, readlen)
+
+    # pay TPU backend init (can take minutes through the tunnel) before timing
+    import jax.numpy as jnp
+
+    _ = int(jnp.zeros((8,)).sum())
+
     t0 = time.time()
     fwd_codes, _perm, ns = sa_mod.build_index_arrays(seqs, use_device=True)
     rev_codes, _rperm, _ = sa_mod.build_index_arrays(

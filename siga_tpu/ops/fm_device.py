@@ -96,7 +96,7 @@ _NWORDS = SAMPLE // 16
 _NDWORDS = SAMPLE // 32
 
 
-def occ_all_packed(words, dollars, checkpoints, length, i):
+def occ_all_packed(words, dollars, checkpoints, length, i, tab=None):
     """popcount occ over 2-bit-packed words: i int32 [Q] -> [Q, 5] int32.
 
     Each query gathers 8 symbol words + 4 '$'-mask words + 1 checkpoint row
@@ -105,11 +105,12 @@ def occ_all_packed(words, dollars, checkpoints, length, i):
     """
     popcount = jax.lax.population_count
     pos = i + 1
-    block = pos // SAMPLE
+    block0 = pos // SAMPLE
+    block = block0 if tab is None else block0 + tab
     base = checkpoints[block]
     w = words[block].astype(jnp.uint32)  # [Q, 8]
     d = dollars[block].astype(jnp.uint32)  # [Q, 4]
-    tail_len = (pos - block * SAMPLE).astype(jnp.uint32)  # 0..SAMPLE
+    tail_len = (pos - block0 * SAMPLE).astype(jnp.uint32)  # 0..SAMPLE
 
     # per-word valid-symbol masks
     widx = jnp.arange(_NWORDS, dtype=jnp.uint32) * 16
@@ -165,13 +166,15 @@ def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _scan_stage_a_compact(
-    max_t, min_overlap, cap, words, dollars, checkpoints, pred, length, chars, lens
+    max_t, min_overlap, cap, words, dollars, checkpoints, pred, length, chars, lens,
+    lane_tab=None,
 ):
     """Like _scan_stage_a but compacts the sparse valid blocks on device so
     only ~cap block records cross the host link (the tunnel transfer is the
     bottleneck, not compute)."""
     emitted, valid, final, lext = _scan_stage_a(
-        max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens
+        max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens,
+        lane_tab,
     )
     t_dim, lanes = valid.shape
     flat_valid = valid.reshape(-1)
@@ -185,7 +188,7 @@ def _scan_stage_a_compact(
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _scan_stage_a(max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens):
+def _scan_stage_a(max_t, min_overlap, words, dollars, checkpoints, pred, length, chars, lens, lane_tab=None):
     """Backward-search scan with '$'-probes over a batch of lanes.
 
     chars: int32 [L, T] update symbols (chars[:, t] = seq[l-2-t], garbage when
@@ -194,21 +197,23 @@ def _scan_stage_a(max_t, min_overlap, words, dollars, checkpoints, pred, length,
     interval state per lane.
     """
     num_lanes = chars.shape[0]
+    tab1 = lane_tab
+    tab2 = None if lane_tab is None else jnp.concatenate([lane_tab, lane_tab])
 
-    def occ(i):
-        return occ_all_packed(words, dollars, checkpoints, length, i)
+    def occ(i, tab):
+        return occ_all_packed(words, dollars, checkpoints, length, i, tab)
 
     # init with the last character of each read: interval over all of fmi
     c0 = chars[:, max_t]  # by construction chars[:, T] holds seq[l-1]
     lo0 = pred[c0]
     # totals = checkpoints-based full counts via occ(length-1)
-    full = occ(jnp.full((num_lanes,), length - 1, dtype=jnp.int32))
+    full = occ(jnp.full((num_lanes,), length - 1, dtype=jnp.int32), tab1)
     hi0 = lo0 + jnp.take_along_axis(full, c0[..., None], axis=-1)[..., 0] - 1
     state0 = (lo0, hi0, lo0, hi0)
 
     def step(state, t):
         lo, hi, rlo, rhi = state
-        both = occ(jnp.concatenate([lo - 1, hi]))
+        both = occ(jnp.concatenate([lo - 1, hi]), tab2)
         l_counts = both[:num_lanes]
         u_counts = both[num_lanes:]
         # probe: extend left with '$' (rank 0)
@@ -239,7 +244,7 @@ def _scan_stage_a(max_t, min_overlap, words, dollars, checkpoints, pred, length,
     )
     flo, fhi, frlo, frhi = final_state
     # containment classification on the full-length interval
-    both = occ(jnp.concatenate([flo - 1, fhi]))
+    both = occ(jnp.concatenate([flo - 1, fhi]), tab2)
     l_counts = both[:num_lanes]
     u_counts = both[num_lanes:]
     lext = u_counts - l_counts
@@ -356,3 +361,123 @@ class StageAScanner:
     def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
         """Synchronous dispatch+collect (see those methods)."""
         return self.collect(self.dispatch(seqs_ranks, lens, min_overlap))
+
+
+class DualScanner:
+    """One scan call serves both (fwd, rev) orientation pairs: the two
+    indexes' tables are stacked and each lane carries a block-table offset.
+    The C arrays of the forward and reversed text are identical (same symbol
+    totals), so `pred` is shared.  Halves dispatch/transfer round trips."""
+
+    def __init__(self, dfwd: DeviceFM, drev: DeviceFM, mesh=None):
+        assert dfwd.length == drev.length
+        self.length = dfwd.length
+        self.nblocks = dfwd.packed_words.shape[0]
+        words = jnp.concatenate([dfwd.packed_words, drev.packed_words], axis=0)
+        dollars = jnp.concatenate([dfwd.dollar_words, drev.dollar_words], axis=0)
+        ckpt = jnp.concatenate([dfwd.checkpoints, drev.checkpoints], axis=0)
+        self.pred = dfwd.pred
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            words = jax.device_put(words, repl)
+            dollars = jax.device_put(dollars, repl)
+            ckpt = jax.device_put(ckpt, repl)
+            self.pred = jax.device_put(self.pred, repl)
+            self._lane_sharding = NamedSharding(mesh, P("data", None))
+            self._vec_sharding = NamedSharding(mesh, P("data"))
+        self.words = words
+        self.dollars = dollars
+        self.checkpoints = ckpt
+        self._cap = 2048
+
+    def _put(self, chars, lens, tab):
+        if self.mesh is None:
+            return jnp.asarray(chars), jnp.asarray(lens), jnp.asarray(tab)
+        return (
+            jax.device_put(chars, self._lane_sharding),
+            jax.device_put(lens, self._vec_sharding),
+            jax.device_put(tab, self._vec_sharding),
+        )
+
+    def dispatch(
+        self,
+        f_ranks: np.ndarray,
+        f_lens: np.ndarray,
+        r_ranks: np.ndarray,
+        r_lens: np.ndarray,
+        min_overlap: int,
+    ):
+        """Both scanners' lanes in one launch: [fwd lanes..., rev lanes...]."""
+        seqs_ranks = np.concatenate([f_ranks, r_ranks], axis=0)
+        lens = np.concatenate([f_lens, r_lens]).astype(np.int64)
+        half = f_ranks.shape[0]
+        tab = np.zeros(2 * half, dtype=np.int32)
+        tab[half:] = self.nblocks
+
+        num_lanes, maxlen = seqs_ranks.shape
+        max_t = maxlen - 1
+        chars = np.zeros((num_lanes, max_t + 1), dtype=np.int32)
+        for c_t in range(max_t):
+            idx = lens - 2 - c_t
+            ok = idx >= 0
+            chars[ok, c_t] = seqs_ranks[ok, idx[ok]]
+        chars[np.arange(num_lanes), max_t] = seqs_ranks[
+            np.arange(num_lanes), lens - 1
+        ]
+        chars_d, lens_d, tab_d = self._put(
+            chars, lens.astype(np.int32), tab
+        )
+        cap = self._cap
+        out = _scan_stage_a_compact(
+            max_t,
+            min_overlap,
+            cap,
+            self.words,
+            self.dollars,
+            self.checkpoints,
+            self.pred,
+            jnp.int32(self.length),
+            chars_d,
+            lens_d,
+            tab_d,
+        )
+        return (out, cap, num_lanes, max_t, min_overlap, chars_d, lens_d, tab_d, half)
+
+    def collect(self, handle):
+        (count, idx, data, final, lext), cap, num_lanes, max_t, min_overlap, chars_d, lens_d, tab_d, half = handle
+        nblocks = int(count)
+        while nblocks > cap:
+            cap = _next_pow2(nblocks)
+            self._cap = cap
+            count, idx, data, final, lext = _scan_stage_a_compact(
+                max_t,
+                min_overlap,
+                cap,
+                self.words,
+                self.dollars,
+                self.checkpoints,
+                self.pred,
+                jnp.int32(self.length),
+                chars_d,
+                lens_d,
+                tab_d,
+            )
+            nblocks = int(count)
+
+        k = min(_next_pow2(max(nblocks, 1)), cap)
+        idx = np.asarray(idx[:k])[:nblocks].astype(np.int64)
+        data = np.asarray(data[:k])[:nblocks]
+        final = np.asarray(final)
+        lext = np.asarray(lext)
+        lane = idx % num_lanes
+        t = idx // num_lanes
+        order = np.lexsort((t, lane))
+        lane, t, data = lane[order], t[order], data[order]
+        # split back into the fwd and rev scanner views
+        is_f = lane < half
+        f_view = (lane[is_f], t[is_f], data[is_f], final[:half], lext[:half])
+        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f], final[half:], lext[half:])
+        return f_view, r_view

@@ -26,7 +26,7 @@ from ..overlap.builder import (
     OverlapBuilder,
     OverlapResult,
 )
-from .fm_device import DeviceFM, StageAScanner
+from .fm_device import DeviceFM, DualScanner, StageAScanner
 
 CHUNK_READS = 8192
 
@@ -119,8 +119,7 @@ def batch_overlap_hits(
     fmi, rfmi = builder.fmi, builder.rfmi
     dfwd = DeviceFM(fmi)
     drev = DeviceFM(rfmi)
-    fwd_scanner = StageAScanner(dfwd, mesh)
-    rev_scanner = StageAScanner(drev, mesh)
+    scanner = DualScanner(dfwd, drev, mesh)
 
     # fixed shapes across chunks: one compile serves the whole run
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
@@ -143,21 +142,21 @@ def batch_overlap_hits(
         num_lanes = 2 * n if builder.rc else n
         f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, global_maxlen)
         r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, global_maxlen)
-        fh = fwd_scanner.dispatch(f_ranks, f_lens, min_overlap)
-        rh = rev_scanner.dispatch(r_ranks, r_lens, min_overlap)
-        return chunk, fh, rh
+        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, min_overlap)
+        return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
     LOOKAHEAD = 2  # chunks in flight: device runs ahead of host processing
     inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
 
     for ci, start in enumerate(starts):
-        chunk, fh, rh = inflight.pop(0)
+        chunk, h = inflight.pop(0)
         if ci + LOOKAHEAD < len(starts):
             inflight.append(dispatch(starts[ci + LOOKAHEAD]))
         n = chunk_reads
-        f_lane, f_t, f_data, f_fi, f_le = fwd_scanner.collect(fh)
-        r_lane, r_t, r_data, r_fi, r_le = rev_scanner.collect(rh)
+        f_view, r_view = scanner.collect(h)
+        f_lane, f_t, f_data, f_fi, f_le = f_view
+        r_lane, r_t, r_data, r_fi, r_le = r_view
         num_lanes = 2 * n if builder.rc else n
 
         proc = _native_chunk_processor(builder)
