@@ -121,8 +121,11 @@ def batch_overlap_hits(
     drev = DeviceFM(rfmi)
     scanner = DualScanner(dfwd, drev, mesh)
 
-    # fixed shapes across chunks: one compile serves the whole run
+    # fixed shapes across chunks: one compile serves the whole run; chunk
+    # size rounds up to the mesh size so sharded lane counts divide evenly
+    ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
+    chunk_reads += (-chunk_reads) % max(ndev, 1)
     global_maxlen = max(len(r.seq) for r in records)
     global_maxlen += (-global_maxlen) % 16  # round up to a 16-wide bucket
 
