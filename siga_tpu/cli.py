@@ -176,6 +176,97 @@ OPTION_TABLES: Dict[str, Tuple[str, List[Tuple[str, bool, str]]]] = {
     ),
 }
 
+USAGE = {
+    "preprocess": '''siga preprocess [OPTION] READS1 READS2 ...
+Prepare READS1, READS2, ... data files for assembly
+
+  -o, --out=FILE             write the reads to FILE (default: stdout)
+      --pe-mode=INT          0 = unpaired (default); 1 = reads paired across
+                             READS1/READS2, interleaved in the output;
+                             2 = pairs interleaved within a single file
+      --pe-orientation=STR   fr (default), rf, ff
+      --with-index           barcode index file precedes each reads file
+      --phred64              convert quality values from phred-64 to phred-33
+  -q, --quality-trim=INT     BWA quality trim algorithm with threshold INT
+  -f, --quality-filter=INT   discard reads with more than INT low-quality bases
+  -m, --min-length=INT       discard sequences shorter than INT (default: 40)
+      --hard-clip=INT        clip all reads to length INT
+      --sample-rate=FLOAT    subsample reads/pairs with probability FLOAT
+      --no-primer-check      disable the primer-sequence check''',
+    "index": '''siga index [OPTION] ... READSFILE
+Index the reads in READSFILE using a suffix array/BWT
+
+  -a, --algorithm=STR        sais2 (device prefix-doubling, default) | host
+  -t, --threads=NUM          worker threads (device path ignores this)
+  -p, --prefix=PREFIX        output prefix (default: stem of READSFILE)
+      --no-forward           skip the forward BWT
+      --no-reverse           skip the reverse BWT''',
+    "correct": '''siga correct [OPTION] ... READSFILE
+Correct sequencing errors in the reads
+
+  -p, --prefix=PREFIX        index prefix (default: stem of READSFILE)
+  -k, --kmer-size=N          k-mer size (default: 31)
+  -x, --kmer-threshold=N     attempt correction below this coverage (default: 3)
+      --kmer-rounds=N        max correction rounds per read (default: 10)
+  -o, --out=FILE             output file (default: PREFIX.ec.fa)
+      --engine=host|tpu      k-mer counting engine (default: auto)''',
+    "overlap": '''siga overlap [OPTION] ... READSFILE
+Compute pairwise overlaps between all the sequences in READS
+
+  -m, --min-overlap=LEN      minimum overlap length (default: 10)
+  -p, --prefix=PREFIX        index prefix (default: stem of READSFILE)
+  -t, --threads=NUM          hits output shards (default: 1)
+  -x, --exhaustive           output all overlaps, including transitive edges
+      --no-opposite-strand   treat all reads as forward strand
+      --engine=host|tpu      stage-A engine (default: auto)''',
+    "assemble": '''siga assemble [OPTION] ... ASQGFILE
+Create contigs from the assembly graph ASQGFILE
+
+  -p, --prefix=NAME          output prefix (NAME-contigs.fa, NAME-graph.asqg.gz)
+  -m, --min-overlap=LEN      only load overlaps of at least LEN
+      --max-edges=N          per-vertex edge cap (default: unlimited)
+      --pe-mode=INT          0 (default) | 1 = treat reads as paired
+      --with-index           treat as 10x linked-read data
+      --max-distance=INT     paired-read link distance (default: 100)
+      --insert-size=INT      insert size (default: learned)
+      --insert-size-delta=INT insert size delta (default: learned)
+  -x, --cut-terminal=N       trim rounds (default: 10)
+  -n, --min-branch-length=LEN trim branches shorter than LEN (default: 150)
+  -d, --max-overlap-delta=LEN maximum-overlap reduction delta (default: 0)
+      --max-overlap-carefully reciprocal-maximality check before removal
+  -l, --min-chimeric-length=LEN enable chimeric removal below LEN
+  -M, --ai-model=FILE        JSON bagged-tree edge classifier''',
+    "rmdup": '''siga rmdup [OPTION] ... READSFILE
+Remove duplicated reads from the data set
+
+  -p, --prefix=PREFIX        index prefix
+  -t, --threads=N            worker threads''',
+    "subgraph": '''siga subgraph [OPTION] ... ID ASQGFILE
+Extract the subgraph around sequence with ID from an asqg file
+
+  -o, --out=FILE             output (default: subgraph.asqg.gz)
+  -m, --min-overlap=LEN      only load overlaps of at least LEN
+      --size=N               neighborhood radius in hops (default: 5)''',
+    "match": '''siga match [OPTION] ... READSFILE
+Match reads in READSFILE against the index
+
+  -p, --prefix=PREFIX        index prefix
+  -l, --max-length=N         probe only N-long prefix/suffix of long reads
+      --no-opposite-strand   do not count reverse-complement matches''',
+    "preqc": '''siga preqc [OPTION] READSFILE
+Perform pre-assembly quality checks (JSON report on stdout)
+
+      --simple               only metrics that do not need the FM-index
+      --sample-rate=FLOAT    read sampling rate (default: 0.05)
+      --kmer=N               k for the genome-size estimate (default: 31)''',
+    "gan": '''siga gan [OPTION] ... ASQGFILE
+Emit labeled training rows for graph edges
+
+  -p, --prefix=PREFIX        output prefix
+      --ref=PREFIX           reference FM-index prefix for ground truth
+  -m, --min-overlap=LEN      only load overlaps of at least LEN''',
+}
+
 DESCRIPTIONS = {
     "preprocess": "filter and quality-trim reads",
     "index": "build the BWT and FM-index for a set of reads",
@@ -281,7 +372,7 @@ def main(argv: List[str] = None) -> int:
         return 1
 
     if opts.get("help"):
-        print(help_text())
+        print(USAGE.get(command, help_text()))
         return 256
     return mod.run(opts, args)
 

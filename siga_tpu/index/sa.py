@@ -40,9 +40,10 @@ def concat_reads(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarra
     lengths = np.array([len(s) for s in seqs], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lengths + 1)[:-1]))
     n = int((lengths + 1).sum())
-    codes = np.zeros(n, dtype=np.uint8)
-    for s, seq in zip(starts, seqs):
-        codes[s : s + len(seq)] = dna.encode(seq)
+    # one pass over the joined bytes ('$' separators map to rank 0)
+    joined = "$".join(seqs) + "$"
+    codes = dna.RANK_LUT[np.frombuffer(joined.encode(), dtype=np.uint8)].copy()
+    assert codes.size == n
     return codes, starts, lengths
 
 

@@ -192,6 +192,33 @@ def open_reader(path: str):
     return reader
 
 
+def _fast_fastq_bulk(text: str, with_quality: bool, with_comment: bool):
+    """Bulk 4-line FASTQ parse; returns None when the file needs the strict
+    state machine (blank lines, multi-line records, '+name' mismatches)."""
+    lines = text.split("\n")
+    while lines and not lines[-1]:
+        lines.pop()
+    if len(lines) % 4 != 0:
+        return None
+    out = []
+    for i in range(0, len(lines), 4):
+        h, seq, sep, qual = lines[i : i + 4]
+        if not h.startswith("@") or not sep.startswith("+") or len(qual) != len(seq):
+            return None
+        if sep != "+" and not sep.endswith(h[1:].split(" ")[0].split("\t")[0]):
+            return None
+        rec = DNASeq()
+        if with_comment:
+            rec.name, rec.comment = split_name(h[1:])
+        else:
+            rec.name = split_name(h[1:])[0]
+        rec.seq = seq
+        if with_quality:
+            rec.quality = qual
+        out.append(rec)
+    return out
+
+
 def read_sequences(
     path_or_stream,
     with_quality: bool = True,
@@ -199,11 +226,24 @@ def read_sequences(
 ) -> List[DNASeq]:
     """Bulk loader (reference ReadDNASequences, src/kseq.cpp:230-257)."""
     if isinstance(path_or_stream, str):
-        reader = open_reader(path_or_stream)
+        stream = xopen(path_or_stream, "rt")
     else:
-        reader = make_reader(path_or_stream)
-        if reader is None:
-            raise ValueError("cannot determine sequence format")
+        stream = path_or_stream
+    pos = stream.tell()
+    first = stream.read(1)
+    stream.seek(pos)
+    if first == "@":
+        # fast path: read everything, split on record boundaries
+        text = stream.read()
+        out = _fast_fastq_bulk(text, with_quality, with_comment)
+        if out is not None:
+            return out
+        import io as _io
+
+        stream = _io.StringIO(text)
+    reader = make_reader(stream)
+    if reader is None:
+        raise ValueError("cannot determine sequence format")
     out = []
     for rec in reader:
         if not with_quality:
