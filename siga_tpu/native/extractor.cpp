@@ -429,13 +429,12 @@ static bool containment_for_lane(const int64_t* final8, uint8_t lext_has_dna,
                                  int64_t seqlen, int af, const Index& other,
                                  bool* substring, Block* out) {
   if (lext_has_dna) { *substring = true; return false; }
-  int64_t rext[5], l[5], u[5];
+  int64_t l[5], u[5];
   occ_all(other, final8[2] - 1, l);
   occ_all(other, final8[3], u);
   int64_t dna = 0;
   for (int c = 1; c < 5; ++c) dna += (u[c] - l[c]);
   if (dna > 0) { *substring = true; return false; }
-  (void)rext;
   int64_t probe[4] = {final8[4], final8[5], final8[6], final8[7]};
   if (!pair_valid(probe)) return false;
   update_right_pair(probe, 0, other);

@@ -26,7 +26,7 @@ from ..overlap.builder import (
     OverlapBuilder,
     OverlapResult,
 )
-from .fm_device import DeviceFM, DualScanner, StageAScanner
+from .fm_device import DeviceFM, DualScanner
 
 CHUNK_READS = 8192
 

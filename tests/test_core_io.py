@@ -120,3 +120,54 @@ def test_dnaseq_ops():
     assert r.seq == "TGCA" and r.quality == "LKJI"
     r.make_complement()
     assert r.seq == "ACGT"
+
+
+def test_asqg_records():
+    from siga_tpu.io import asqg
+    from siga_tpu.core.coord import Overlap
+
+    h = asqg.HeaderRecord(overlap=45, containment=1, infile="reads.fa")
+    assert h.format() == "HT\tVN:i:1\tOL:i:45\tIN:Z:reads.fa\tCN:i:1"
+    back = asqg.HeaderRecord.parse(h.format())
+    assert back.overlap == 45 and back.containment == 1 and back.infile == "reads.fa"
+
+    v = asqg.VertexRecord(id="r1", seq="ACGT", substring=0, coverage=3)
+    assert v.format() == "VT\tr1\tACGT\tSS:i:0\tCR:i:3"
+    vb = asqg.VertexRecord.parse(v.format())
+    assert vb.id == "r1" and vb.coverage == 3 and vb.substring == 0
+
+    o = Overlap.parse("a b 5 9 10 0 4 8 1 0")
+    e = asqg.EdgeRecord(overlap=o)
+    assert e.format() == "ED\ta b 5 9 10 0 4 8 1 0"
+    eb = asqg.EdgeRecord.parse(e.format())
+    assert str(eb.overlap) == str(o)
+    assert o.match.is_rc and o.match.length() == 5
+
+    # float tags use %g like std::ostream's 6-sigfig default
+    assert asqg.float_tag("ER", 0.05) == "ER:f:0.05"
+    assert asqg.float_tag("ER", 1e-06) == "ER:f:1e-06"
+
+    assert asqg.record_type("HT\t...") == "header"
+    assert asqg.record_type("VT\t...") == "vertex"
+    assert asqg.record_type("ED\t...") == "edge"
+    assert asqg.record_type("XX") == "none"
+
+
+def test_fast_fastq_bulk_matches_strict():
+    import io as _io
+
+    from siga_tpu.io import fastx
+
+    # records the fast path must reject -> falls back to the state machine
+    tricky = "@r1\nACGT\n+\nIIII\n\n@r2\nGG\n+r2\nJJ\n"
+    recs = fastx.read_sequences(_io.StringIO(tricky))
+    assert [(r.name, r.seq) for r in recs] == [("r1", "ACGT"), ("r2", "GG")]
+
+    clean = "@a 1\nACG\n+\nIII\n@b\nTT\n+\nJJ\n"
+    recs = fastx.read_sequences(_io.StringIO(clean))
+    assert [(r.name, r.comment, r.seq, r.quality) for r in recs] == [
+        ("a", "1", "ACG", "III"),
+        ("b", "", "TT", "JJ"),
+    ]
+    recs = fastx.read_sequences(_io.StringIO(clean), with_quality=False, with_comment=False)
+    assert recs[0].quality == "" and recs[0].comment == ""
