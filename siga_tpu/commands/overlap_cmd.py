@@ -17,7 +17,7 @@ from typing import List
 from ..constants import ASQG_EXT, BWT_EXT, GZIP_EXT, HITS_EXT, RBWT_EXT, RSAI_EXT, SAI_EXT
 from ..index.fm import FMIndex
 from ..io import asqg, fastx, sai as sai_mod
-from ..overlap.builder import Hit, HitConverter, OverlapBuilder
+from ..overlap.builder import BatchHitConverter, Hit, HitConverter, OverlapBuilder
 
 
 def write_vertex_record(out, rec: fastx.DNASeq, substring: bool) -> None:
@@ -83,17 +83,22 @@ def build_overlaps(
 
     sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)
     rsa_perm, _ = sai_mod.load_sai(prefix + RSAI_EXT)
-    converter = HitConverter(sa_perm, rsa_perm, names, lengths)
+    converter = BatchHitConverter(sa_perm, rsa_perm, names, lengths)
     for path in hit_paths:
         with gzip.open(path, "rt") as f:
+            batch = []
             for line in f:
                 line = line.strip()
                 if not line:
                     continue
-                hit = Hit.deserialize(line)
-                overlaps, _n = converter.convert(hit)
-                for o in overlaps:
-                    out.write(asqg.EdgeRecord(overlap=o).format() + "\n")
+                idx, _sub, arr = Hit.parse_array(line)
+                batch.append((idx, arr))
+                if len(batch) >= 4096:
+                    for ed in converter.convert_lines(batch):
+                        out.write(ed + "\n")
+                    batch = []
+            for ed in converter.convert_lines(batch):
+                out.write(ed + "\n")
     out.close()
     return True
 

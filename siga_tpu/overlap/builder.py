@@ -128,6 +128,24 @@ class Hit:
             parts.append(b.serialize() + " ")
         return "".join(parts)
 
+    @staticmethod
+    def parse_array(line: str):
+        """Fast parse -> (idx, substring, (n, 10) int64 array); af decoded
+        from its binary text form."""
+        tokens = line.split()
+        idx = int(tokens[0])
+        substring = bool(int(tokens[1]))
+        n = int(tokens[2])
+        arr = np.empty((n, 10), dtype=np.int64)
+        p = 3
+        for i in range(n):
+            row = tokens[p : p + 10]
+            for j in range(9):
+                arr[i, j] = int(row[j])
+            arr[i, 9] = int(row[9], 2)
+            p += 10
+        return idx, substring, arr
+
     @classmethod
     def deserialize(cls, line: str) -> "Hit":
         tokens = line.split()
@@ -557,3 +575,101 @@ class HitConverter:
                     continue
                 overlaps.append(o)
         return overlaps, num_copies
+
+
+class BatchHitConverter(HitConverter):
+    """Vectorized hits -> ED conversion: explode every block's SA range with
+    numpy, map to read ids through the permutations, apply the dedup rule,
+    then format the surviving records."""
+
+    def __init__(self, sa_perm, rsa_perm, read_names, read_lengths):
+        super().__init__(sa_perm, rsa_perm, read_names, read_lengths)
+        self._names_arr = np.array(read_names, dtype=object)
+        self._lens_arr = np.asarray(read_lengths, dtype=np.int64)
+
+    def convert_lines(self, hits) -> List[str]:
+        """hits: iterable of Hit objects or (idx, (n,10) array) pairs."""
+        qidx, lo, hi, af, length = [], [], [], [], []
+        for hit in hits:
+            if isinstance(hit, tuple):
+                hidx, rows = hit
+            else:
+                hidx = hit.idx
+                arr = getattr(hit, "_array", None)
+                if arr is not None and getattr(hit, "_blocks", None) is None:
+                    rows = arr
+                else:
+                    rows = np.array(
+                        [
+                            [
+                                b.capped.lo,
+                                b.capped.hi,
+                                b.capped.rlo,
+                                b.capped.rhi,
+                                b.raw.lo,
+                                b.raw.hi,
+                                b.raw.rlo,
+                                b.raw.rhi,
+                                b.length,
+                                b.af,
+                            ]
+                            for b in hit.blocks
+                        ],
+                        dtype=np.int64,
+                    ).reshape(-1, 10)
+            if len(rows):
+                qidx.append(np.full(len(rows), hidx, dtype=np.int64))
+                lo.append(rows[:, 0])
+                hi.append(rows[:, 1])
+                length.append(rows[:, 8])
+                af.append(rows[:, 9])
+        if not qidx:
+            return []
+        qidx = np.concatenate(qidx)
+        lo = np.concatenate(lo).astype(np.int64)
+        hi = np.concatenate(hi).astype(np.int64)
+        length = np.concatenate(length).astype(np.int64)
+        af = np.concatenate(af).astype(np.int64)
+
+        width = hi - lo + 1
+        total = int(width.sum())
+        if total == 0:
+            return []
+        rep = np.repeat(np.arange(len(lo)), width)
+        offs = np.arange(total) - np.repeat(np.cumsum(width) - width, width)
+        j = lo[rep] + offs
+        q = qidx[rep]
+        a = af[rep]
+        olen = length[rep]
+
+        tr = (a >> TARGETREV_BIT) & 1
+        tid = np.where(tr == 1, self.rsa_perm[j], self.sa_perm[j])
+        qname = self._names_arr[q]
+        tname = self._names_arr[tid]
+        keep = qname != tname
+
+        qr = ((a >> QUERYREV_BIT) & 1).astype(bool)
+        qlen = self._lens_arr[q]
+        tlen = self._lens_arr[tid]
+        contained = (olen == qlen) | (olen == tlen)
+        # dedup rule (src/overlap_builder.cpp:359-367): skip id1 < id2 or
+        # (containment and query-reversed)
+        keep &= ~(np.less(qname, tname) | (contained & qr))
+
+        idx = np.flatnonzero(keep)
+        lines = []
+        for k in idx.tolist():
+            o = olen[k]
+            ql, tl = int(qlen[k]), int(tlen[k])
+            afk = int(a[k])
+            s1, e1 = ql - o, ql - 1
+            if afk & (1 << QUERYREV_BIT):
+                s1, e1 = ql - e1 - 1, ql - s1 - 1
+            s2, e2 = 0, o - 1
+            if afk & (1 << TARGETREV_BIT):
+                s2, e2 = tl - e2 - 1, tl - s2 - 1
+            rc = 1 if afk & (1 << QUERYCOMP_BIT) else 0
+            lines.append(
+                f"ED\t{qname[k]} {tname[k]} {s1} {e1} {ql} {s2} {e2} {tl} {rc} 0"
+            )
+        return lines
