@@ -34,12 +34,24 @@ def run(opts: dict, arguments: List[str]) -> int:
     lengths = [len(r.seq) for r in records]
 
     # per-"thread" hits shard (single shard = deterministic ordering)
+    engine = str(opts.get("engine", "auto"))
+    if engine in ("auto", "tpu"):
+        from ..ops.search import batch_duplicate_hits
+
+        hits_iter = batch_duplicate_hits(builder, records)
+    else:
+
+        def _host():
+            for idx, rec in enumerate(records):
+                hit = Hit(idx=idx)
+                result = builder.duplicate(rec.seq, hit.blocks)
+                hit.substring = result.substring
+                yield hit
+
+        hits_iter = _host()
     hits_path = f"{prefix}-thread0{RMDUP_EXT}{HITS_EXT}{GZIP_EXT}"
     with gzip.open(hits_path, "wt") as hf:
-        for idx, rec in enumerate(records):
-            hit = Hit(idx=idx)
-            result = builder.duplicate(rec.seq, hit.blocks)
-            hit.substring = result.substring
+        for rec, hit in zip(records, hits_iter):
             hf.write(f"{rec.name}\t{rec.seq}\t{hit.serialize()}\n")
 
     sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)

@@ -346,3 +346,62 @@ def _run_native(builder, tasks) -> None:
         t.out = _array_to_blocks(out)
         t.failed = bool(f)
         t.groups = []
+
+
+def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
+    """Device-batched rmdup: `duplicate()` is the containment-only search
+    (min_overlap = readlen, src/overlap_builder.cpp:1184-1195), i.e. just the
+    final-interval classification of the stage-A scan over lanes
+    [seq] (forward index) and [complement(seq)] (reverse index)."""
+    if mesh is None:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from ..parallel.dist import data_mesh
+
+            mesh = data_mesh()
+    fmi, rfmi = builder.fmi, builder.rfmi
+    scanner = DualScanner(DeviceFM(fmi), DeviceFM(rfmi), mesh)
+
+    ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    chunk_reads = min(CHUNK_READS, max(64, len(records)))
+    chunk_reads += (-chunk_reads) % max(ndev, 1)
+    global_maxlen = max(len(r.seq) for r in records)
+    global_maxlen += (-global_maxlen) % 16
+
+    def dispatch(start):
+        chunk = records[start : start + chunk_reads]
+        seqs = [r.seq for r in chunk]
+        f_ranks, f_lens = _pack_lanes(seqs, chunk_reads, global_maxlen)
+        r_ranks, r_lens = _pack_lanes(
+            [dna.complement(s) for s in seqs], chunk_reads, global_maxlen
+        )
+        # min_overlap > maxlen: no overlap blocks emitted, only finals matter
+        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, global_maxlen + 1)
+        return chunk, h
+
+    starts = list(range(0, len(records), chunk_reads))
+    LOOKAHEAD = 2
+    inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
+
+    for ci, start in enumerate(starts):
+        chunk, h = inflight.pop(0)
+        if ci + LOOKAHEAD < len(starts):
+            inflight.append(dispatch(starts[ci + LOOKAHEAD]))
+        (f_lane, f_t, f_data, f_fi, f_le), (r_lane, r_t, r_data, r_fi, r_le) = (
+            scanner.collect(h)
+        )
+        f_contain = _Containments(f_fi, f_le, rfmi)
+        r_contain = _Containments(r_fi, r_le, fmi)
+        for k, rec in enumerate(chunk):
+            seqlen = len(rec.seq)
+            result = OverlapResult()
+            hit = Hit(idx=start + k)
+            cb = f_contain.get(k, seqlen, AF_SUFFIX_PREFIX, result)
+            if cb is not None:
+                hit.blocks.append(cb)
+            cb = r_contain.get(k, seqlen, AF_SUFFIX_SUFFIX, result)
+            if cb is not None:
+                hit.blocks.append(cb)
+            hit.substring = result.substring
+            yield hit

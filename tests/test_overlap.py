@@ -174,3 +174,28 @@ def test_device_stage_a_matches_host_exhaustive():
     )
     assert [h.serialize() for h in dev_hits] == [h.serialize() for h in host_hits]
     assert dev_edges == host_edges
+
+
+def test_batched_rmdup_matches_host():
+    from siga_tpu.io.fastx import DNASeq
+    from siga_tpu.ops.search import batch_duplicate_hits
+
+    rng = random.Random(23)
+    genome = random_genome(rng, 300)
+    seqs = [genome[i : i + 50] for i in range(0, 240, 17)]
+    seqs.append(seqs[2])            # exact duplicate
+    seqs.append(seqs[4][5:45])      # strict substring
+    names = [f"r{i}" for i in range(len(seqs))]
+    fmi, rfmi, _p, _rp = build_indexes(seqs)
+    builder = OverlapBuilder(fmi, rfmi)
+
+    host_lines = []
+    for i, s in enumerate(seqs):
+        hit = Hit(idx=i)
+        res = builder.duplicate(s, hit.blocks)
+        hit.substring = res.substring
+        host_lines.append(hit.serialize())
+
+    records = [DNASeq(name=n, seq=s) for n, s in zip(names, seqs)]
+    dev_lines = [h.serialize() for h in batch_duplicate_hits(builder, records)]
+    assert dev_lines == host_lines
