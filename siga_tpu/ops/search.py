@@ -126,12 +126,21 @@ def batch_overlap_hits(
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
     chunk_reads += (-chunk_reads) % max(ndev, 1)
-    global_maxlen = max(len(r.seq) for r in records)
-    global_maxlen += (-global_maxlen) % 16  # round up to a 16-wide bucket
+
+    def _bucket_len(n_chars: int) -> int:
+        # bounded set of scan depths: pow2 buckets from 64 up
+        b = 64
+        while b < n_chars:
+            b *= 2
+        return b
 
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
+        # per-chunk scan depth: read order is preserved, only the compiled
+        # shape bucket varies (heterogeneous inputs like contig re-overlap
+        # would otherwise pay the global maximum length every chunk)
+        maxlen = _bucket_len(max(len(s) for s in seqs))
         n = chunk_reads  # fixed lane stride (padded lanes are inert)
         # forward-index lanes: [seq, rc(seq)]; reverse-index lanes:
         # [reverse(seq), complement(seq)]
@@ -143,8 +152,8 @@ def batch_overlap_hits(
             fwd_lane_seqs += [dna.reverse_complement(s) for s in seqs]
             rev_lane_seqs += [dna.complement(s) for s in seqs]
         num_lanes = 2 * n if builder.rc else n
-        f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, global_maxlen)
-        r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, global_maxlen)
+        f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, maxlen)
+        r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, maxlen)
         h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, min_overlap)
         return chunk, h
 
@@ -366,18 +375,19 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
     chunk_reads += (-chunk_reads) % max(ndev, 1)
-    global_maxlen = max(len(r.seq) for r in records)
-    global_maxlen += (-global_maxlen) % 16
 
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
-        f_ranks, f_lens = _pack_lanes(seqs, chunk_reads, global_maxlen)
+        maxlen = 64
+        while maxlen < max(len(s) for s in seqs):
+            maxlen *= 2
+        f_ranks, f_lens = _pack_lanes(seqs, chunk_reads, maxlen)
         r_ranks, r_lens = _pack_lanes(
-            [dna.complement(s) for s in seqs], chunk_reads, global_maxlen
+            [dna.complement(s) for s in seqs], chunk_reads, maxlen
         )
         # min_overlap > maxlen: no overlap blocks emitted, only finals matter
-        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, global_maxlen + 1)
+        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, maxlen + 1)
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
