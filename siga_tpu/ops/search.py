@@ -105,10 +105,35 @@ class _Containments:
 def batch_overlap_hits(
     builder: OverlapBuilder, records, min_overlap: int, mesh=None
 ) -> Iterator[Hit]:
-    """Yield one Hit per read, device stage A + host stages B/C.
+    """Yield one Hit per read (in input order), device stage A + host
+    stages B/C.
 
     With mesh (or multiple visible devices), read lanes shard data-parallel
-    across the mesh with the FM-index replicated."""
+    across the mesh with the FM-index replicated.  Heterogeneous-length
+    inputs (e.g. contig re-overlap) are processed in length-sorted chunks so
+    short chunks do not pay the longest read's scan depth; results are
+    buffered and re-emitted in input order."""
+    lens = [len(r.seq) for r in records]
+    lens_sorted = sorted(lens)
+    median = lens_sorted[len(lens) // 2]
+    if lens_sorted[-1] > 2 * max(median, 1) and len(records) > 1:
+        order = sorted(range(len(records)), key=lambda i: lens[i])
+        permuted = [records[i] for i in order]
+        results = [None] * len(records)
+        for pos, hit in zip(order, _batch_overlap_ordered(
+            builder, permuted, min_overlap, mesh
+        )):
+            hit.idx = pos
+            results[pos] = hit
+        for hit in results:
+            yield hit
+        return
+    yield from _batch_overlap_ordered(builder, records, min_overlap, mesh)
+
+
+def _batch_overlap_ordered(
+    builder: OverlapBuilder, records, min_overlap: int, mesh=None
+) -> Iterator[Hit]:
     if mesh is None:
         import jax
 
