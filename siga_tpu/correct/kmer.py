@@ -165,6 +165,15 @@ def correct_reads(
     corrector = KmerCorrector(
         index, kmer_size, rounds, count_offset, threshold, counter=counter
     )
+    if counter is not None:
+        # prefill the cache with every k-mer of the read set in one batched
+        # device call; correction rounds then only count novel candidates
+        all_kmers = set()
+        for read in reads:
+            s = read.seq
+            for i in range(len(s) - kmer_size + 1):
+                all_kmers.add(s[i : i + kmer_size])
+        corrector._count_many(list(all_kmers))
     for read in reads:
         seq, valid = corrector.process(read)
         if valid:
