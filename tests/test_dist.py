@@ -36,3 +36,29 @@ def test_mesh_overlap_matches_single_device():
         for h in batch_overlap_hits(builder, records, 30, mesh=mesh)
     ]
     assert dev_lines == host_lines
+
+
+def test_sharded_fm_occ_matches_host():
+    """SA-range-sharded occ tables across 8 devices answer identically to the
+    single-device host FM-index."""
+    import numpy as np
+
+    from siga_tpu.ops.sharded_fm import ShardedDeviceFM
+
+    rng = random.Random(3)
+    genome = "".join(rng.choice("ACGT") for _ in range(600))
+    seqs = [genome[i : i + 40] for i in range(0, 540, 13)]
+    fwd, _p, ns = sa_mod.build_index_arrays(seqs)
+    fmi = FMIndex(fwd, ns)
+    sharded = ShardedDeviceFM(fmi, data_mesh(8))
+
+    qs = np.array([-1, 0, 1, 37, 128, 129, 400, fmi.length - 1], dtype=np.int64)
+    got = sharded.occ_all(qs)
+    want = fmi.occ_all(qs)
+    assert np.array_equal(got, want)
+
+    # batched k-mer counting through the sharded index
+    kmers = [seqs[0][:8], seqs[3][10:18], "ACGTACGT", "TTTTTTTT"]
+    counts = sharded.count_kmers(kmers, 8)
+    want_counts = [fmi.occurrences(w) for w in kmers]
+    assert counts.tolist() == want_counts
