@@ -77,10 +77,31 @@ def _sw_wavefront(queries, refs, match, mismatch, gap_open, gap_extend):
 
 
 class BatchAligner:
-    """Score many (query, ref) pairs on device."""
+    """Score many (query, ref) pairs on device.
 
-    def __init__(self, match=2, mismatch=2, gap_open=3, gap_extend=1):
+    Prefers the Pallas wavefront kernel (ops/sw_pallas.py, ~6x the XLA scan
+    version on TPU) for the scores; end positions always come from the XLA
+    path.  Set use_pallas=False (or run on a non-TPU backend) to force XLA.
+    """
+
+    def __init__(self, match=2, mismatch=2, gap_open=3, gap_extend=1, use_pallas=None):
         self.params = (match, mismatch, gap_open, gap_extend)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self._pallas = None
+        if use_pallas:
+            try:
+                from .sw_pallas import PallasAligner
+
+                self._pallas = PallasAligner(*self.params)
+            except Exception:  # pragma: no cover - pallas unavailable
+                self._pallas = None
+
+    def best_scores(self, queries: Sequence[str], refs: Sequence[str]) -> np.ndarray:
+        """Scores only — the fast path (Pallas when available)."""
+        if self._pallas is not None:
+            return self._pallas.scores(queries, refs)
+        return self.scores(queries, refs)[0]
 
     def scores(
         self, queries: Sequence[str], refs: Sequence[str]

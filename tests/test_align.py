@@ -80,3 +80,12 @@ def test_device_end_positions():
     assert int(best[0]) == 16
     assert int(qend[0]) == 7
     assert int(rend[0]) == 10
+
+
+def test_pallas_scores_on_cpu_fallback():
+    # on the CPU test backend BatchAligner must fall back to the XLA path
+    from siga_tpu.ops.sw_device import BatchAligner
+
+    ba = BatchAligner()
+    out = ba.best_scores(["ACGTACGT"], ["TTTACGTACGTTTT"])
+    assert int(out[0]) == 16
