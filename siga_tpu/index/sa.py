@@ -183,5 +183,51 @@ def build_index_arrays(
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Build (bwt_codes, sai_perm, num_strings) for a read set."""
     codes, starts, _lengths = concat_reads(seqs)
-    sa = suffix_array_jax(codes) if use_device else suffix_array_numpy(codes)
+    if use_device:
+        return _build_index_arrays_device(codes, starts, len(seqs))
+    sa = suffix_array_numpy(codes)
     return bwt_from_sa(codes, sa), sai_perm_from_sa(sa, starts), len(seqs)
+
+
+def _build_index_arrays_device(codes, starts, num_strings):
+    """Device SA build with BWT/perm derivation on device too: only the BWT
+    bytes (1/char) and the read permutation cross the host link, not the
+    4-8 byte/char suffix array."""
+    import jax.numpy as jnp
+
+    n_real = int(codes.size)
+    sent_pos = np.flatnonzero(codes == 0)
+    prev = np.concatenate(([-1], sent_pos[:-1]))
+    max_span = int((sent_pos - prev).max())
+    rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
+
+    n = 1024
+    while n < n_real:
+        n *= 2
+    init = _initial_ranks(codes)
+    top = int(init.max()) + 1
+    padded = np.empty(n, dtype=np.int64)
+    padded[:n_real] = init
+    padded[n_real:] = top + np.arange(n - n_real)
+
+    itype = jnp.int32 if n < 2**31 else jnp.int64
+    order = _prefix_doubling(rounds, n, jnp.asarray(padded, dtype=itype))
+
+    codes_d = jnp.asarray(codes)
+    is_start = np.zeros(n_real, dtype=bool)
+    is_start[starts] = True
+    read_of_start = np.zeros(n_real, dtype=np.int32)
+    read_of_start[starts] = np.arange(starts.size, dtype=np.int32)
+
+    sa = order[:n_real]
+    bwt = jnp.where(
+        sa == 0, jnp.uint8(0), codes_d[jnp.clip(sa - 1, 0, n_real - 1)]
+    )
+    mask = jnp.asarray(is_start)[sa]
+    (pos_idx,) = jnp.nonzero(mask, size=num_strings, fill_value=0)
+    perm = jnp.asarray(read_of_start)[sa[pos_idx]]
+    return (
+        np.asarray(bwt, dtype=np.uint8),
+        np.asarray(perm, dtype=np.int64),
+        num_strings,
+    )

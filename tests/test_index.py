@@ -129,3 +129,14 @@ def test_interval_pair_bidirectional():
     pair2 = pair.copy()
     pair2.update_right(dna.torank("T"), rev)
     assert pair2.hi - pair2.lo + 1 == naive_occurrences(reads, "CGTT")
+
+
+def test_device_index_arrays_match_host():
+    rng = RInt(29)
+    reads = random_reads(rng, 20)
+    reads += [reads[0], reads[5]]
+    host = sa.build_index_arrays(reads, use_device=False)
+    dev = sa.build_index_arrays(reads, use_device=True)
+    assert np.array_equal(host[0], dev[0])
+    assert np.array_equal(host[1], dev[1])
+    assert host[2] == dev[2]
