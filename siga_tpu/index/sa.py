@@ -47,6 +47,19 @@ def concat_reads(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarra
     return codes, starts, lengths
 
 
+def _pad_size(n_real: int) -> int:
+    """Pad the text to a bounded set of shapes: pow2 up to 4M, then multiples
+    of 4M.  Pow2 padding above ~64M wasted up to 1.5x HBM during the sort
+    (enough to OOM a 90M-char build on one chip)."""
+    n = 1024
+    while n < n_real and n < (1 << 22):
+        n *= 2
+    if n_real <= n:
+        return n
+    step = 1 << 22
+    return ((n_real + step - 1) // step) * step
+
+
 def _initial_ranks(codes: np.ndarray) -> np.ndarray:
     """Distinct-sentinel initial ranks: t-th sentinel -> t, base r -> S-1+r."""
     is_sent = codes == 0
@@ -100,13 +113,11 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     max_span = int((sent_pos - prev).max())  # read length + 1
     rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
 
-    # Pad the text to a power-of-2 bucket so the sort compiles once per
+    # Pad the text to a bounded shape bucket so the sort compiles once per
     # bucket.  Pad symbols get distinct initial ranks above every real rank
     # and increasing with position, so they occupy the SA tail in position
     # order and never perturb the real suffix order.
-    n = 1024
-    while n < n_real:
-        n *= 2
+    n = _pad_size(n_real)
 
     init = _initial_ranks(codes)
     top = int(init.max()) + 1
@@ -201,9 +212,7 @@ def _build_index_arrays_device(codes, starts, num_strings):
     max_span = int((sent_pos - prev).max())
     rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
 
-    n = 1024
-    while n < n_real:
-        n *= 2
+    n = _pad_size(n_real)
     init = _initial_ranks(codes)
     top = int(init.max()) + 1
     padded = np.empty(n, dtype=np.int64)
