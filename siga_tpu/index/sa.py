@@ -126,7 +126,10 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     padded[n_real:] = top + np.arange(n - n_real)
 
     itype = jnp.int32 if n < 2**31 else jnp.int64
-    order = _prefix_doubling(rounds, n, jnp.asarray(padded, dtype=itype))
+    # convert on host: uploading int64 then casting would hold an extra
+    # 8-byte/char temp on device through the first sort round
+    host_ranks = padded.astype(np.int32) if itype == jnp.int32 else padded
+    order = _prefix_doubling(rounds, n, jnp.asarray(host_ranks))
     out = np.asarray(order, dtype=np.int64)
     return out[:n_real] if n > n_real else out
 
@@ -220,21 +223,23 @@ def _build_index_arrays_device(codes, starts, num_strings):
     padded[n_real:] = top + np.arange(n - n_real)
 
     itype = jnp.int32 if n < 2**31 else jnp.int64
-    order = _prefix_doubling(rounds, n, jnp.asarray(padded, dtype=itype))
-
-    codes_d = jnp.asarray(codes)
-    is_start = np.zeros(n_real, dtype=bool)
-    is_start[starts] = True
-    read_of_start = np.zeros(n_real, dtype=np.int32)
-    read_of_start[starts] = np.arange(starts.size, dtype=np.int32)
+    host_ranks = padded.astype(np.int32) if itype == jnp.int32 else padded
+    order = _prefix_doubling(rounds, n, jnp.asarray(host_ranks))
 
     sa = order[:n_real]
+    codes_d = jnp.asarray(codes)  # uint8, 1 byte/char
     bwt = jnp.where(
         sa == 0, jnp.uint8(0), codes_d[jnp.clip(sa - 1, 0, n_real - 1)]
     )
-    mask = jnp.asarray(is_start)[sa]
-    (pos_idx,) = jnp.nonzero(mask, size=num_strings, fill_value=0)
-    perm = jnp.asarray(read_of_start)[sa[pos_idx]]
+    # read-start membership and read ids via searchsorted against the small
+    # starts table (avoids a 4-byte/char read-id map on device)
+    starts_d = jnp.asarray(starts.astype(np.int32))
+    idx = jnp.searchsorted(starts_d, sa.astype(jnp.int32))
+    hit = (idx < starts_d.shape[0]) & (
+        starts_d[jnp.clip(idx, 0, starts_d.shape[0] - 1)] == sa.astype(jnp.int32)
+    )
+    (pos_idx,) = jnp.nonzero(hit, size=num_strings, fill_value=0)
+    perm = idx[pos_idx]
     return (
         np.asarray(bwt, dtype=np.uint8),
         np.asarray(perm, dtype=np.int64),
