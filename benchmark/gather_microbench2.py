@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Second-round microbench: verify gathers really execute, then isolate the
+cost of per-step output stacking (the `emitted` tensor of the stage-A scan)."""
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STEPS = 100
+Q = 65536
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def make_scan(N, W, stack_out, carry_buffer=False, cap=65536):
+    @jax.jit
+    def run(table, idx0):
+        def step(carry, _):
+            if carry_buffer:
+                idx, buf, cursor = carry
+            else:
+                idx = carry
+            rows = table[idx]  # [Q, W]
+            s = rows.sum(axis=-1)
+            nidx = jnp.abs(idx * 131 + s) % N
+            out = ()
+            if stack_out:
+                out = (rows, s > 50)
+            if carry_buffer:
+                valid = (s & 3) == 0  # ~25% emit rate
+                offs = cursor + jnp.cumsum(valid) - valid
+                offs = jnp.where(valid, offs, cap)  # drop invalid + overflow
+                buf = buf.at[offs].set(rows, mode="drop")
+                cursor = cursor + valid.sum()
+                return (nidx, buf, cursor), out
+            return nidx, out
+
+        if carry_buffer:
+            buf0 = jnp.zeros((cap, W), dtype=table.dtype)
+            (final, buf, cursor), _ = jax.lax.scan(
+                step, (idx0, buf0, jnp.int32(0)), None, length=STEPS
+            )
+            return final, buf, cursor
+        final, outs = jax.lax.scan(step, idx0, None, length=STEPS)
+        return (final, *outs)
+
+    return run
+
+
+def main():
+    rng = np.random.default_rng(0)
+    idx0 = jnp.asarray(rng.integers(0, 16384, Q, dtype=np.int32))
+
+    # correctness spot check vs numpy
+    N, W = 16384, 8
+    table_np = rng.integers(0, 100, (N, W), dtype=np.int32)
+    table = jnp.asarray(table_np)
+    run = make_scan(N, W, stack_out=False)
+    _, out = timeit(run, table, idx0)
+    idx_np = np.asarray(idx0)
+    for _ in range(STEPS):
+        rows = table_np[idx_np]
+        s = rows.sum(axis=-1, dtype=np.int32)
+        idx_np = np.abs(idx_np * np.int32(131) + s) % N
+    final = np.asarray(out[0])
+    assert np.array_equal(final, idx_np), "gather scan result mismatch!"
+    print("correctness: OK (gathers really ran)", flush=True)
+
+    for N in (16384, 262144):
+        table = jnp.asarray(rng.integers(0, 100, (N, W), dtype=np.int32))
+        i0 = jnp.asarray(rng.integers(0, N, Q, dtype=np.int32))
+        dt, _ = timeit(make_scan(N, W, False), table, i0)
+        print(f"N={N:7d} W={W} no-stack:     {dt*1e3:7.1f}ms ({dt/STEPS/Q*1e9:5.2f} ns/q)", flush=True)
+        dt, _ = timeit(make_scan(N, W, True), table, i0)
+        print(f"N={N:7d} W={W} stack [T,Q,8]:{dt*1e3:7.1f}ms ({dt/STEPS/Q*1e9:5.2f} ns/q)", flush=True)
+        dt, _ = timeit(make_scan(N, W, False, carry_buffer=True), table, i0)
+        print(f"N={N:7d} W={W} carry-compact:{dt*1e3:7.1f}ms ({dt/STEPS/Q*1e9:5.2f} ns/q)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

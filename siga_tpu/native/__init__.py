@@ -63,6 +63,56 @@ def _i64(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _u64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+OCC_SAMPLE = 64  # symbols per checkpoint block, must match extractor.cpp
+
+
+def pack_index_planes(index):
+    """Pack an FMIndex into the C++ occ planes: 2-bit symbol words ('$'
+    aliases A), '$' bitmask words, cumulative checkpoint counts every
+    OCC_SAMPLE symbols, predecessor counts."""
+    codes = index.codes
+    n = codes.size
+    nblocks = n // OCC_SAMPLE + 1
+    padded = np.zeros(nblocks * OCC_SAMPLE, dtype=np.uint8)
+    padded[:n] = codes
+    sym = padded.reshape(nblocks, OCC_SAMPLE).astype(np.uint64)
+    two_bit = np.where(sym == 0, np.uint64(0), sym - 1)
+    offs = np.arange(OCC_SAMPLE, dtype=np.uint64)
+    shifts = np.uint64(2) * (offs % np.uint64(32))
+    shifted = two_bit << shifts[None, :]
+    words = np.bitwise_or.reduce(shifted.reshape(nblocks, 2, 32), axis=2)
+    dbit = (sym == 0).astype(np.uint64) << offs[None, :]
+    dollars = np.bitwise_or.reduce(dbit, axis=1)
+    # cumulative counts at block starts
+    ckpt = np.zeros((nblocks, 5), dtype=np.int64)
+    if n:
+        counts = np.zeros((n, 5), dtype=np.int32)
+        counts[np.arange(n), codes] = 1
+        csum = np.cumsum(counts, axis=0, dtype=np.int64)
+        block_ends = np.arange(1, nblocks) * OCC_SAMPLE
+        inb = block_ends <= n
+        ckpt[1:][inb] = csum[block_ends[inb] - 1]
+        if not inb.all():
+            ckpt[1:][~inb] = csum[-1]
+    pred = np.ascontiguousarray(index.pred.astype(np.int64))
+    return (
+        np.ascontiguousarray(words.reshape(-1)),
+        np.ascontiguousarray(dollars),
+        np.ascontiguousarray(ckpt.reshape(-1)),
+        pred,
+        n,
+    )
+
+
+def _index_args(planes):
+    words, dollars, ckpt, pred, n = planes
+    return (_u64(words), _u64(dollars), _i64(ckpt), _i64(pred), ctypes.c_int64(n))
+
+
 class NativeExtractor:
     """ctypes facade over siga_extract_irreducible."""
 
@@ -70,19 +120,8 @@ class NativeExtractor:
         self.lib = get_lib()
         assert self.lib is not None
         self.threads = threads
-
-        def pack(index):
-            off = np.zeros(6, dtype=np.int64)
-            for c in range(5):
-                off[c + 1] = off[c] + index.positions[c].size
-            pos = np.concatenate(
-                [p.astype(np.int64) for p in index.positions]
-            ) if off[5] else np.zeros(1, dtype=np.int64)
-            pred = index.pred.astype(np.int64)
-            return np.ascontiguousarray(pos), off, np.ascontiguousarray(pred)
-
-        self.fwd = pack(fmi)
-        self.rev = pack(rfmi)
+        self.fwd = pack_index_planes(fmi)
+        self.rev = pack_index_planes(rfmi)
 
     def run(
         self, tasks: List[np.ndarray]
@@ -111,12 +150,8 @@ class NativeExtractor:
                 ctypes.c_int64(n_tasks),
                 _i64(offsets),
                 _i64(blocks),
-                _i64(self.fwd[0]),
-                _i64(self.fwd[1]),
-                _i64(self.fwd[2]),
-                _i64(self.rev[0]),
-                _i64(self.rev[1]),
-                _i64(self.rev[2]),
+                *_index_args(self.fwd),
+                *_index_args(self.rev),
                 ctypes.c_int64(cap),
                 _i64(out_blocks),
                 _i64(out_counts),
@@ -189,8 +224,8 @@ class NativeChunkProcessor:
                 ctypes.c_int64(lane_stride),
                 _i64(f[0]), _i64(f[1]), _i64(f[2]), _i64(f[3]), u8(f[4]),
                 _i64(r[0]), _i64(r[1]), _i64(r[2]), _i64(r[3]), u8(r[4]),
-                _i64(self.fwd[0]), _i64(self.fwd[1]), _i64(self.fwd[2]),
-                _i64(self.rev[0]), _i64(self.rev[1]), _i64(self.rev[2]),
+                *_index_args(self.fwd),
+                *_index_args(self.rev),
                 ctypes.c_int64(cap),
                 _i64(out_blocks),
                 _i64(out_counts),

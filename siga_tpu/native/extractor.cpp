@@ -6,10 +6,11 @@
 // continuation, and branch splitting — over MANY per-read tasks, each
 // processed to completion, OpenMP-parallel across tasks.
 //
-// occ(c, i) runs as a binary search over per-symbol sorted position lists of
-// the BWT (the same answers as the FM-index occ tables).  Each block round
-// computes one occ pair reused for both ext() and updateR, like the batched
-// Python extractor.
+// occ(c, i) is O(1): cumulative checkpoint counts every 64 symbols plus a
+// popcount scan of 2-bit-packed symbol words (and a '$' bitmask plane) —
+// the same layout the device occ kernel uses (ops/fm_device.py), a few ns
+// per query instead of a binary search.  Each block round computes one occ
+// pair reused for both ext() and updateR, like the batched Python extractor.
 //
 // Block record layout (int64 x 10):
 //   [0..3] capped pair: lo, hi, rlo, rhi
@@ -32,22 +33,52 @@ constexpr int QUERYCOMP_BIT = 2;
 constexpr int TARGETREV_BIT = 1;
 constexpr int REC = 10;
 
+// 64 symbols per checkpoint block: 2 x u64 symbol words (2-bit codes,
+// '$' aliases A), 1 x u64 '$' bitmask, 5 x i64 cumulative counts.
+constexpr int64_t OCC_SAMPLE = 64;
+
 struct Index {
-  const int64_t* pos[5];
-  int64_t len[5];
-  const int64_t* pred;
+  const uint64_t* words;    // [nblocks*2]
+  const uint64_t* dollars;  // [nblocks]
+  const int64_t* ckpt;      // [nblocks*5]
+  const int64_t* pred;      // [5]
+  int64_t n;
 };
+
+static inline int64_t count2(uint64_t w, uint64_t pattern, uint64_t mask2) {
+  uint64_t x = w ^ pattern;
+  uint64_t matched = ~(x | (x >> 1)) & 0x5555555555555555ULL;
+  return (int64_t)__builtin_popcountll(matched & mask2);
+}
+
+// inclusive occ counts of all 5 symbols at position i (occ(c, -1) == 0)
+static inline void occ_all(const Index& ix, int64_t i, int64_t* out) {
+  const int64_t pos = i + 1;
+  const int64_t block = pos >> 6;
+  const int64_t tail = pos & 63;  // 0..63
+  const int64_t* base = ix.ckpt + block * 5;
+  const uint64_t w0 = ix.words[block * 2];
+  const uint64_t w1 = ix.words[block * 2 + 1];
+  const int64_t v0 = tail < 32 ? tail : 32;
+  const int64_t v1 = tail > 32 ? tail - 32 : 0;
+  const uint64_t m0 = v0 == 32 ? ~0ULL : ((1ULL << (2 * v0)) - 1);
+  const uint64_t m1 = v1 ? ((1ULL << (2 * v1)) - 1) : 0ULL;
+  const uint64_t dmask = (tail == 64) ? ~0ULL : ((1ULL << tail) - 1);
+  const int64_t nd = (int64_t)__builtin_popcountll(ix.dollars[block] & dmask);
+  const uint64_t LO = 0x5555555555555555ULL;
+  out[0] = base[0] + nd;
+  out[1] = base[1] + count2(w0, 0ULL, m0) + count2(w1, 0ULL, m1) - nd;
+  out[2] = base[2] + count2(w0, LO, m0) + count2(w1, LO, m1);
+  out[3] = base[3] + count2(w0, 0xAAAAAAAAAAAAAAAAULL, m0) +
+           count2(w1, 0xAAAAAAAAAAAAAAAAULL, m1);
+  out[4] = base[4] + count2(w0, ~0ULL, m0) + count2(w1, ~0ULL, m1);
+}
 
 // count of symbol c at positions <= i  (occ(c, -1) == 0)
 static inline int64_t occ(const Index& ix, int c, int64_t i) {
-  const int64_t* a = ix.pos[c];
-  int64_t lo = 0, hi = ix.len[c];
-  const int64_t key = i + 1;  // count of p < key
-  while (lo < hi) {
-    int64_t mid = (lo + hi) >> 1;
-    if (a[mid] < key) lo = mid + 1; else hi = mid;
-  }
-  return lo;
+  int64_t all[5];
+  occ_all(ix, i, all);
+  return all[c];
 }
 
 struct Block {
@@ -190,22 +221,17 @@ extern "C" {
 int64_t siga_extract_irreducible(
     int64_t n_tasks, const int64_t* task_offsets,  // [n_tasks+1]
     const int64_t* blocks,                         // [task_offsets[n_tasks]*10]
-    const int64_t* fwd_pos, const int64_t* fwd_off, const int64_t* fwd_pred,
-    const int64_t* rev_pos, const int64_t* rev_off, const int64_t* rev_pred,
+    const uint64_t* fwd_words, const uint64_t* fwd_dollars,
+    const int64_t* fwd_ckpt, const int64_t* fwd_pred, int64_t fwd_n,
+    const uint64_t* rev_words, const uint64_t* rev_dollars,
+    const int64_t* rev_ckpt, const int64_t* rev_pred, int64_t rev_n,
     int64_t out_cap,                               // capacity in int64s
     int64_t* out_blocks,                           // [out_cap]
     int64_t* out_counts,                           // [n_tasks] blocks emitted
     uint8_t* out_failed,                           // [n_tasks]
     int64_t n_threads) {
-  Index fwd, rev;
-  for (int c = 0; c < 5; ++c) {
-    fwd.pos[c] = fwd_pos + fwd_off[c];
-    fwd.len[c] = fwd_off[c + 1] - fwd_off[c];
-    rev.pos[c] = rev_pos + rev_off[c];
-    rev.len[c] = rev_off[c + 1] - rev_off[c];
-  }
-  fwd.pred = fwd_pred;
-  rev.pred = rev_pred;
+  Index fwd{fwd_words, fwd_dollars, fwd_ckpt, fwd_pred, fwd_n};
+  Index rev{rev_words, rev_dollars, rev_ckpt, rev_pred, rev_n};
 
   std::vector<std::vector<int64_t>> outs(n_tasks);
 #ifdef _OPENMP
@@ -248,22 +274,13 @@ constexpr int AF_SS = 0b110;
 constexpr int AF_PP = 0b101;
 constexpr int AF_PS = 0b011;
 
-static inline void occ_all(const Index& ix, int64_t i, int64_t* out) {
-  for (int c = 0; c < 5; ++c) out[c] = occ(ix, c, i);
-}
-
-// BWT symbol at position i: the symbol whose position list contains i
+// BWT symbol rank at position i, from the packed planes
 static inline int get_char(const Index& ix, int64_t i) {
-  for (int c = 0; c < 5; ++c) {
-    const int64_t* a = ix.pos[c];
-    int64_t lo = 0, hi = ix.len[c];
-    while (lo < hi) {
-      int64_t mid = (lo + hi) >> 1;
-      if (a[mid] < i) lo = mid + 1; else hi = mid;
-    }
-    if (lo < ix.len[c] && a[lo] == i) return c;
-  }
-  return 0;
+  const int64_t block = i >> 6;
+  const int64_t off = i & 63;
+  if ((ix.dollars[block] >> off) & 1) return 0;
+  const uint64_t w = ix.words[block * 2 + (off >> 5)];
+  return (int)((w >> (2 * (off & 31))) & 3) + 1;
 }
 
 // IntervalPair::updateL(c, index): v = [lo,hi,rlo,rhi]
@@ -466,20 +483,15 @@ int64_t siga_process_chunk(
     const int64_t* r_starts, const int64_t* r_t, const int64_t* r_data,
     const int64_t* r_final, const uint8_t* r_lext,
     // indexes
-    const int64_t* fwd_pos, const int64_t* fwd_off, const int64_t* fwd_pred,
-    const int64_t* rev_pos, const int64_t* rev_off, const int64_t* rev_pred,
+    const uint64_t* fwd_words, const uint64_t* fwd_dollars,
+    const int64_t* fwd_ckpt, const int64_t* fwd_pred, int64_t fwd_n,
+    const uint64_t* rev_words, const uint64_t* rev_dollars,
+    const int64_t* rev_ckpt, const int64_t* rev_pred, int64_t rev_n,
     // outputs
     int64_t out_cap, int64_t* out_blocks, int64_t* out_counts,
     uint8_t* out_substring, uint8_t* out_failed, int64_t n_threads) {
-  Index fwd, rev;
-  for (int c = 0; c < 5; ++c) {
-    fwd.pos[c] = fwd_pos + fwd_off[c];
-    fwd.len[c] = fwd_off[c + 1] - fwd_off[c];
-    rev.pos[c] = rev_pos + rev_off[c];
-    rev.len[c] = rev_off[c + 1] - rev_off[c];
-  }
-  fwd.pred = fwd_pred;
-  rev.pred = rev_pred;
+  Index fwd{fwd_words, fwd_dollars, fwd_ckpt, fwd_pred, fwd_n};
+  Index rev{rev_words, rev_dollars, rev_ckpt, rev_pred, rev_n};
 
   std::vector<std::vector<int64_t>> outs(n_reads);
 #ifdef _OPENMP
