@@ -64,20 +64,16 @@ def main():
     seqs_c = [r.seq for r in chunk]
     maxlen = 128
     n = chunk_reads
-    fwd_lane_seqs = list(seqs_c) + [""] * (n - len(seqs_c)) + [dna.reverse_complement(s) for s in seqs_c]
-    rev_lane_seqs = [s[::-1] for s in seqs_c] + [""] * (n - len(seqs_c)) + [dna.complement(s) for s in seqs_c]
-    f_ranks, f_lens = search_mod._pack_lanes(fwd_lane_seqs, 2 * n, maxlen)
-    r_ranks, r_lens = search_mod._pack_lanes(rev_lane_seqs, 2 * n, maxlen)
 
     # warmup/compile
     t0 = time.time()
-    h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, min_overlap)
+    h = scanner.dispatch(seqs_c, n, maxlen, min_overlap)
     scanner.collect(h)
     print(f"scan compile+first run: {time.time()-t0:.2f}s  (cap={scanner._cap})", flush=True)
 
     # timed: dispatch only (host pack + transfer + async launch)
     t0 = time.time()
-    h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, min_overlap)
+    h = scanner.dispatch(seqs_c, n, maxlen, min_overlap)
     t_dispatch = time.time() - t0
     # device completion: block on the count scalar
     (out, *_rest) = h
@@ -95,18 +91,13 @@ def main():
     )
 
     # pure device time: re-run with inputs already on device, block
-    (out2, cap, num_lanes, max_t, mo, chars_d, lens_d, tab_d, half) = scanner.dispatch(
-        f_ranks, f_lens, r_ranks, r_lens, min_overlap
+    (out2, cap, _n, max_t, mo, la_d, ra_d, lens_d) = scanner.dispatch(
+        seqs_c, n, maxlen, min_overlap
     )
     jax.block_until_ready(out2)
-    from siga_tpu.ops.fm_device import _scan_stage_a_compact
-
     for trial in range(3):
         t0 = time.time()
-        out3 = _scan_stage_a_compact(
-            max_t, mo, cap, scanner.words, scanner.dollars, scanner.checkpoints,
-            scanner.pred, jnp.int32(scanner.length), chars_d, lens_d, tab_d,
-        )
+        out3 = scanner._run(cap, max_t, mo, la_d, ra_d, lens_d)
         jax.block_until_ready(out3)
         print(f"pure device scan (inputs resident): {(time.time()-t0)*1e3:.0f}ms", flush=True)
 

@@ -43,6 +43,28 @@ def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
     return out, lens
 
 
+def _with_probe(fmi: FMIndex, data4: np.ndarray) -> np.ndarray:
+    """Rebuild 8-col block rows [plo,phi,prlo,prhi, lo,hi,rlo,rhi] from the
+    4-col raw intervals the device emits.  The '$'-probe (updateL('$'),
+    src/overlap_builder.cpp:112-122 with c='$') is closed-form:
+    plo = occ_$(lo-1), phi = occ_$(hi)-1, prlo = rlo, prhi = rlo+diff-1."""
+    out = np.empty((data4.shape[0], 8), dtype=np.int64)
+    if data4.shape[0] == 0:
+        return out
+    lo = data4[:, 0].astype(np.int64)
+    hi = data4[:, 1].astype(np.int64)
+    rlo = data4[:, 2].astype(np.int64)
+    dollars = fmi.positions[0]
+    l0 = np.searchsorted(dollars, np.clip(lo - 1, -1, fmi.length - 1) + 1)
+    u0 = np.searchsorted(dollars, np.clip(hi, -1, fmi.length - 1) + 1)
+    out[:, 0] = l0
+    out[:, 1] = u0 - 1
+    out[:, 2] = rlo
+    out[:, 3] = rlo + (u0 - l0) - 1
+    out[:, 4:] = data4
+    return out
+
+
 class _ScanBlocks:
     """Per-lane block lists from a compacted scan result."""
 
@@ -144,7 +166,13 @@ def _batch_overlap_ordered(
     fmi, rfmi = builder.fmi, builder.rfmi
     dfwd = DeviceFM(fmi)
     drev = DeviceFM(rfmi)
-    scanner = DualScanner(dfwd, drev, mesh)
+    from .fm_device import GROUP_COMP, GROUP_ID, GROUP_RC, GROUP_REV
+
+    if builder.rc:
+        fwd_groups, rev_groups = (GROUP_ID, GROUP_RC), (GROUP_REV, GROUP_COMP)
+    else:
+        fwd_groups, rev_groups = (GROUP_ID,), (GROUP_REV,)
+    scanner = DualScanner(dfwd, drev, mesh, fwd_groups, rev_groups)
 
     # fixed shapes across chunks: one compile serves the whole run; chunk
     # size rounds up to the mesh size so sharded lane counts divide evenly
@@ -166,20 +194,10 @@ def _batch_overlap_ordered(
         # shape bucket varies (heterogeneous inputs like contig re-overlap
         # would otherwise pay the global maximum length every chunk)
         maxlen = _bucket_len(max(len(s) for s in seqs))
-        n = chunk_reads  # fixed lane stride (padded lanes are inert)
-        # forward-index lanes: [seq, rc(seq)]; reverse-index lanes:
-        # [reverse(seq), complement(seq)]
-        fwd_lane_seqs = list(seqs)
-        rev_lane_seqs = [s[::-1] for s in seqs]
-        if builder.rc:
-            fwd_lane_seqs += [""] * (n - len(seqs))
-            rev_lane_seqs += [""] * (n - len(seqs))
-            fwd_lane_seqs += [dna.reverse_complement(s) for s in seqs]
-            rev_lane_seqs += [dna.complement(s) for s in seqs]
-        num_lanes = 2 * n if builder.rc else n
-        f_ranks, f_lens = _pack_lanes(fwd_lane_seqs, num_lanes, maxlen)
-        r_ranks, r_lens = _pack_lanes(rev_lane_seqs, num_lanes, maxlen)
-        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, min_overlap)
+        # 2-bit packed upload; all orientation lane groups ([seq, rc(seq)]
+        # against the forward index, [reverse(seq), complement(seq)] against
+        # the reverse index) are derived on device
+        h = scanner.dispatch(seqs, chunk_reads, maxlen, min_overlap)
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
@@ -194,6 +212,8 @@ def _batch_overlap_ordered(
         f_view, r_view = scanner.collect(h)
         f_lane, f_t, f_data, f_fi, f_le = f_view
         r_lane, r_t, r_data, r_fi, r_le = r_view
+        f_data = _with_probe(fmi, f_data)
+        r_data = _with_probe(rfmi, r_data)
         num_lanes = 2 * n if builder.rc else n
 
         proc = _native_chunk_processor(builder)
@@ -395,7 +415,11 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
 
             mesh = data_mesh()
     fmi, rfmi = builder.fmi, builder.rfmi
-    scanner = DualScanner(DeviceFM(fmi), DeviceFM(rfmi), mesh)
+    from .fm_device import GROUP_COMP, GROUP_ID
+
+    scanner = DualScanner(
+        DeviceFM(fmi), DeviceFM(rfmi), mesh, (GROUP_ID,), (GROUP_COMP,)
+    )
 
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
@@ -407,12 +431,8 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
         maxlen = 64
         while maxlen < max(len(s) for s in seqs):
             maxlen *= 2
-        f_ranks, f_lens = _pack_lanes(seqs, chunk_reads, maxlen)
-        r_ranks, r_lens = _pack_lanes(
-            [dna.complement(s) for s in seqs], chunk_reads, maxlen
-        )
         # min_overlap > maxlen: no overlap blocks emitted, only finals matter
-        h = scanner.dispatch(f_ranks, f_lens, r_ranks, r_lens, maxlen + 1)
+        h = scanner.dispatch(seqs, chunk_reads, maxlen, maxlen + 1)
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
