@@ -64,9 +64,9 @@ def main():
     builder = OverlapBuilder(fmi, rfmi)
     records = [DNASeq(name=f"r{i}", seq=s) for i, s in enumerate(seqs)]
 
-    # warmup (compile) with the same chunk shape as the timed run
-    warm = records[:8192]
-    for _hit in batch_overlap_hits(builder, warm, min_overlap):
+    # warmup (compile) over the full set: the timed pass then reuses every
+    # compiled shape (chunk tails produce different block-count slice shapes)
+    for _hit in batch_overlap_hits(builder, records, min_overlap):
         pass
 
     t0 = time.time()

@@ -236,6 +236,22 @@ def _compact_blocks(emitted, valid, lext, cap):
     return count, idx.astype(jnp.int32), data, lext_has_dna
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _pack_outputs(k, idx, data, final):
+    """Slice the compacted scan outputs to the observed block count and fuse
+    them into ONE int32 buffer: a single device->host transfer replaces four
+    (each transfer through the dev tunnel pays a round trip).  Only the raw
+    final interval columns cross; probe/'$'-extension columns are closed-form
+    host reconstructions (ops/search.py::_final8/_lext_dna)."""
+    return jnp.concatenate(
+        [
+            idx[:k].astype(jnp.int32),
+            data[:k].reshape(-1).astype(jnp.int32),
+            final[:, :4].reshape(-1).astype(jnp.int32),
+        ]
+    )
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _scan_stage_a_compact(
     max_t, min_overlap, cap, plane, pred, length, chars, lens, lane_tab=None,
@@ -358,11 +374,13 @@ def _scan_stage_a(max_t, min_overlap, plane, pred, length, chars, lens, lane_tab
         active = t <= lens - 2
         overlap_len = t + 1
         emit_valid = probe_valid & active & (overlap_len >= min_overlap)
-        # emit only the raw interval; the '$'-probe (capped) columns are a
-        # closed-form function of (lo, hi, rlo) + occ_$ and are rebuilt on
-        # host for just the emitted blocks (ops/search.py::_with_probe) —
-        # halving both the scan's HBM writes and the host-link transfer
-        emitted = jnp.stack([lo, hi, rlo, rhi], axis=-1)
+        # emit only [lo, rlo, size]: hi = lo+size and rhi = rlo+size by the
+        # IntervalPair size invariant, and the '$'-probe (capped) columns are
+        # a closed-form function of (lo, hi, rlo) + occ_$ rebuilt on host for
+        # just the emitted blocks (ops/search.py::_with_probe) — cutting the
+        # scan's HBM writes and the host-link transfer to 3/8 of the naive
+        # 8-column emission
+        emitted = jnp.stack([lo, rlo, hi - lo], axis=-1)
         # update with the actual character
         c = chars[:, t]
         nlo, nhi, nrlo, nrhi = update_left_core(
@@ -612,16 +630,22 @@ class DualScanner:
         num_lanes = n * (len(self.fwd_groups) + len(self.rev_groups))
         half = n * len(self.fwd_groups)
         k = _slice_size(nblocks, cap)
-        idx = np.asarray(idx[:k])[:nblocks].astype(np.int64)
-        data = np.asarray(data[:k])[:nblocks]
-        final = np.asarray(final)
-        lext = np.asarray(lext)
+        packed = np.asarray(_pack_outputs(k, idx, data, final))
+        idx = packed[:k][:nblocks].astype(np.int64)
+        data3 = packed[k : 4 * k].reshape(k, 3)[:nblocks]
+        final4 = packed[4 * k :].reshape(num_lanes, 4)
+        # reconstruct [lo, hi, rlo, rhi] from [lo, rlo, size]
+        data = np.empty((nblocks, 4), dtype=np.int64)
+        data[:, 0] = data3[:, 0]
+        data[:, 1] = data3[:, 0] + data3[:, 2]
+        data[:, 2] = data3[:, 1]
+        data[:, 3] = data3[:, 1] + data3[:, 2]
         lane = idx % num_lanes
         t = idx // num_lanes
         order = np.lexsort((t, lane))
         lane, t, data = lane[order], t[order], data[order]
         # split back into the fwd and rev scanner views
         is_f = lane < half
-        f_view = (lane[is_f], t[is_f], data[is_f], final[:half], lext[:half])
-        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f], final[half:], lext[half:])
+        f_view = (lane[is_f], t[is_f], data[is_f], final4[:half])
+        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f], final4[half:])
         return f_view, r_view

@@ -43,6 +43,24 @@ def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
     return out, lens
 
 
+def _final8(fmi: FMIndex, final4: np.ndarray) -> np.ndarray:
+    """Per-lane [flo,fhi,frlo,frhi, plo,phi,prlo,prhi] from the raw final
+    interval: the probe columns are updateL('$') (closed form, see
+    _with_probe)."""
+    wp = _with_probe(fmi, final4)
+    return np.concatenate([wp[:, 4:], wp[:, :4]], axis=1)
+
+
+def _lext_dna(fmi: FMIndex, final4: np.ndarray) -> np.ndarray:
+    """Per-lane flag: does the full-read interval extend left with any DNA
+    symbol in its own index (half of the substring test; the other index's
+    right-extension half happens in _Containments/native)."""
+    lo = final4[:, 0].astype(np.int64)
+    hi = final4[:, 1].astype(np.int64)
+    diff = fmi.occ_all(hi) - fmi.occ_all(lo - 1)
+    return (diff[:, 1:].sum(axis=1) > 0).astype(np.uint8)
+
+
 def _with_probe(fmi: FMIndex, data4: np.ndarray) -> np.ndarray:
     """Rebuild 8-col block rows [plo,phi,prlo,prhi, lo,hi,rlo,rhi] from the
     4-col raw intervals the device emits.  The '$'-probe (updateL('$'),
@@ -210,10 +228,12 @@ def _batch_overlap_ordered(
             inflight.append(dispatch(starts[ci + LOOKAHEAD]))
         n = chunk_reads
         f_view, r_view = scanner.collect(h)
-        f_lane, f_t, f_data, f_fi, f_le = f_view
-        r_lane, r_t, r_data, r_fi, r_le = r_view
+        f_lane, f_t, f_data, f_fi4 = f_view
+        r_lane, r_t, r_data, r_fi4 = r_view
         f_data = _with_probe(fmi, f_data)
         r_data = _with_probe(rfmi, r_data)
+        f_fi, f_le = _final8(fmi, f_fi4), _lext_dna(fmi, f_fi4)
+        r_fi, r_le = _final8(rfmi, r_fi4), _lext_dna(rfmi, r_fi4)
         num_lanes = 2 * n if builder.rc else n
 
         proc = _native_chunk_processor(builder)
@@ -443,11 +463,11 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
         chunk, h = inflight.pop(0)
         if ci + LOOKAHEAD < len(starts):
             inflight.append(dispatch(starts[ci + LOOKAHEAD]))
-        (f_lane, f_t, f_data, f_fi, f_le), (r_lane, r_t, r_data, r_fi, r_le) = (
+        (f_lane, f_t, f_data, f_fi4), (r_lane, r_t, r_data, r_fi4) = (
             scanner.collect(h)
         )
-        f_contain = _Containments(f_fi, f_le, rfmi)
-        r_contain = _Containments(r_fi, r_le, fmi)
+        f_contain = _Containments(_final8(fmi, f_fi4), _lext_dna(fmi, f_fi4), rfmi)
+        r_contain = _Containments(_final8(rfmi, r_fi4), _lext_dna(rfmi, r_fi4), fmi)
         for k, rec in enumerate(chunk):
             seqlen = len(rec.seq)
             result = OverlapResult()
