@@ -91,20 +91,24 @@ def main():
     )
 
     # pure device time: re-run with inputs already on device, block
-    (out2, cap, _n, max_t, mo, la_d, ra_d, lens_d) = scanner.dispatch(
+    (out2, cap, fcap, _n, max_t, mo, la_d, lens_d) = scanner.dispatch(
         seqs_c, n, maxlen, min_overlap
     )
     jax.block_until_ready(out2)
     for trial in range(3):
         t0 = time.time()
-        out3 = scanner._run(cap, max_t, mo, la_d, ra_d, lens_d)
+        out3 = scanner._run(cap, fcap, max_t, mo, la_d, lens_d)
         jax.block_until_ready(out3)
         print(f"pure device scan (inputs resident): {(time.time()-t0)*1e3:.0f}ms", flush=True)
 
     # native stage B/C
     proc = search_mod._native_chunk_processor(builder)
-    f_lane, f_t, f_data, f_fi, f_le = f_view
-    r_lane, r_t, r_data, r_fi, r_le = r_view
+    f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
+    r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
+    f_data = search_mod._with_probe(fmi, f_data)
+    r_data = search_mod._with_probe(rfmi, r_data)
+    f_fi = search_mod._final8_from_cands(2 * n, f_cl, f_cr)
+    r_fi = search_mod._final8_from_cands(2 * n, r_cl, r_cr)
     lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
     f_starts = np.searchsorted(f_lane, np.arange(2 * n + 1))
     r_starts = np.searchsorted(r_lane, np.arange(2 * n + 1))
@@ -112,8 +116,8 @@ def main():
         t0 = time.time()
         outs, substr, failed = proc.run(
             lens_chunk, True, True, n,
-            (f_starts, f_t, f_data, f_fi, f_le),
-            (r_starts, r_t, r_data, r_fi, r_le),
+            (f_starts, f_t, f_data, f_fi, f_sub),
+            (r_starts, r_t, r_data, r_fi, r_sub),
         )
         print(f"native stage B/C: {(time.time()-t0)*1e3:.0f}ms", flush=True)
 

@@ -191,8 +191,9 @@ class NativeChunkProcessor:
         r_scan,
     ):
         """f_scan/r_scan: (starts, t, data, final, lext) numpy arrays from
-        StageAScanner (blocks sorted by lane).  Returns (per-read block
-        arrays, substring flags, failed flags)."""
+        DualScanner.collect via ops/search.py (blocks sorted by lane; lext
+        carries the device-computed full substring flags).  Returns
+        (per-read block arrays, substring flags, failed flags)."""
         n_reads = len(read_lens)
 
         def prep(scan):
@@ -221,6 +222,7 @@ class NativeChunkProcessor:
                 _i64(lens64),
                 ctypes.c_int(1 if rc else 0),
                 ctypes.c_int(1 if irreducible else 0),
+                ctypes.c_int(1),  # lext holds full device substring flags
                 ctypes.c_int64(lane_stride),
                 _i64(f[0]), _i64(f[1]), _i64(f[2]), _i64(f[3]), u8(f[4]),
                 _i64(r[0]), _i64(r[1]), _i64(r[2]), _i64(r[3]), u8(r[4]),

@@ -444,14 +444,19 @@ struct ScanLane {
 // was produced in *out
 static bool containment_for_lane(const int64_t* final8, uint8_t lext_has_dna,
                                  int64_t seqlen, int af, const Index& other,
-                                 bool* substring, Block* out) {
+                                 bool* substring, Block* out,
+                                 int lext_precomputed) {
   if (lext_has_dna) { *substring = true; return false; }
-  int64_t l[5], u[5];
-  occ_all(other, final8[2] - 1, l);
-  occ_all(other, final8[3], u);
-  int64_t dna = 0;
-  for (int c = 1; c < 5; ++c) dna += (u[c] - l[c]);
-  if (dna > 0) { *substring = true; return false; }
+  if (!lext_precomputed) {
+    // lext flag covers only the own-index half; check the other index's
+    // right-extension here
+    int64_t l[5], u[5];
+    occ_all(other, final8[2] - 1, l);
+    occ_all(other, final8[3], u);
+    int64_t dna = 0;
+    for (int c = 1; c < 5; ++c) dna += (u[c] - l[c]);
+    if (dna > 0) { *substring = true; return false; }
+  }
   int64_t probe[4] = {final8[4], final8[5], final8[6], final8[7]};
   if (!pair_valid(probe)) return false;
   update_right_pair(probe, 0, other);
@@ -474,6 +479,9 @@ extern "C" {
 // int64s or -1 if out_cap insufficient.
 int64_t siga_process_chunk(
     int64_t n_reads, const int64_t* read_lens, int rc, int irreducible,
+    // lext_precomputed: the per-lane lext flags already include the other
+    // index's rext half (full substring flags computed device-side)
+    int lext_precomputed,
     int64_t lane_stride,
     // fwd scanner arrays (lanes: [0..n) SP, [stride..stride+n) PP)
     const int64_t* f_starts,  // [2*lane_stride+1] block range per lane
@@ -519,18 +527,18 @@ int64_t siga_process_chunk(
     Block cb;
     // containment order: SP, PP -> containfwd; PS, SS -> containrev
     if (containment_for_lane(f_final + k * 8, f_lext[k], seqlen, AF_SP, rev,
-                             &substring, &cb))
+                             &substring, &cb, lext_precomputed))
       containfwd.push_back(cb);
     if (rc && containment_for_lane(f_final + (lane_stride + k) * 8,
                                    f_lext[lane_stride + k], seqlen, AF_PP, rev,
-                                   &substring, &cb))
+                                   &substring, &cb, lext_precomputed))
       containfwd.push_back(cb);
     if (containment_for_lane(r_final + k * 8, r_lext[k], seqlen, AF_PS, fwd,
-                             &substring, &cb))
+                             &substring, &cb, lext_precomputed))
       containrev.push_back(cb);
     if (rc && containment_for_lane(r_final + (lane_stride + k) * 8,
                                    r_lext[lane_stride + k], seqlen, AF_SS, fwd,
-                                   &substring, &cb))
+                                   &substring, &cb, lext_precomputed))
       containrev.push_back(cb);
 
     // stage B: copy containments in, filter, drop full-length blocks

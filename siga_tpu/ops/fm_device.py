@@ -29,12 +29,9 @@ class DeviceFM:
         self.num_strings = host.num_strings
         n = host.length
         nblocks = n // SAMPLE + 1
+        self.nblocks = nblocks
         padded = np.zeros(nblocks * SAMPLE, dtype=np.uint8)
         padded[:n] = host.codes
-        self.codes = jnp.asarray(padded.reshape(nblocks, SAMPLE))
-        self.checkpoints = jnp.asarray(host.checkpoints, dtype=jnp.int32)
-        self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
-        self.totals = jnp.asarray(host.totals, dtype=jnp.int32)
         # 2-bit-packed symbol words + '$' bitmask for popcount occ:
         # word j of a block covers symbols [16j, 16j+16), little-end first;
         # '$' packs as 0 (alias of A) and is corrected via the mask plane.
@@ -54,31 +51,50 @@ class DeviceFM:
             (np.arange(nblocks)[:, None], np.arange(SAMPLE)[None, :] // 32),
             dbit << (np.arange(SAMPLE) % 32).astype(np.uint32),
         )
-        self.packed_words = jnp.asarray(words.view(np.int32))
-        self.dollar_words = jnp.asarray(dollar.view(np.int32))
-        # fused occ plane: one row gather serves symbol words + '$' mask +
-        # checkpoint counts (3 gathers -> 1; gathers are issue-rate bound)
+        # Only the fused occ plane (and the tiny pred) go to HBM eagerly:
+        # one row gather serves symbol words + '$' mask + checkpoint counts.
+        # The separate codes/checkpoints/packed/dollar device buffers are
+        # lazy — the scan never reads them, so keeping eager copies would
+        # roughly double FM-table HBM for nothing.
+        self._host_padded = padded
+        self._host_words = words.view(np.int32)
+        self._host_dollar = dollar.view(np.int32)
+        self._host_checkpoints = np.asarray(host.checkpoints, dtype=np.int32)
+        self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
         self.occ_plane = jnp.asarray(
             np.concatenate(
-                [
-                    words.view(np.int32),
-                    dollar.view(np.int32),
-                    np.asarray(host.checkpoints, dtype=np.int32),
-                ],
+                [self._host_words, self._host_dollar, self._host_checkpoints],
                 axis=1,
             )
         )
+        self._codes = None
+        self._checkpoints = None
+        self._packed_words = None
+        self._dollar_words = None
 
-    def occ_args(self):
-        return (
-            self.packed_words,
-            self.dollar_words,
-            self.checkpoints,
-            jnp.int32(self.length),
-        )
+    @property
+    def codes(self):
+        if self._codes is None:
+            self._codes = jnp.asarray(self._host_padded.reshape(self.nblocks, SAMPLE))
+        return self._codes
 
-    def tree(self):
-        return (self.codes, self.checkpoints, self.pred, jnp.int32(self.length))
+    @property
+    def checkpoints(self):
+        if self._checkpoints is None:
+            self._checkpoints = jnp.asarray(self._host_checkpoints)
+        return self._checkpoints
+
+    @property
+    def packed_words(self):
+        if self._packed_words is None:
+            self._packed_words = jnp.asarray(self._host_words)
+        return self._packed_words
+
+    @property
+    def dollar_words(self):
+        if self._dollar_words is None:
+            self._dollar_words = jnp.asarray(self._host_dollar)
+        return self._dollar_words
 
 
 def occ_all(codes, checkpoints, length, i):
@@ -222,47 +238,6 @@ def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
     return nlo, nhi, nrlo, nrhi
 
 
-def _compact_blocks(emitted, valid, lext, cap):
-    """Compact the sparse valid blocks on device so only ~cap block records
-    cross the host link (the tunnel transfer is a bottleneck, not compute)."""
-    t_dim, lanes = valid.shape
-    flat_valid = valid.reshape(-1)
-    count = flat_valid.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat_valid, size=cap, fill_value=t_dim * lanes - 1)
-    data = emitted.reshape(t_dim * lanes, emitted.shape[-1])[idx]
-    # substring pre-classification: any DNA left-extension of the full
-    # interval (the other index's rext check happens host-side)
-    lext_has_dna = (lext[:, 1:].sum(axis=-1) > 0).astype(jnp.int8)
-    return count, idx.astype(jnp.int32), data, lext_has_dna
-
-
-@partial(jax.jit, static_argnums=(0,))
-def _pack_outputs(k, idx, data, final):
-    """Slice the compacted scan outputs to the observed block count and fuse
-    them into ONE int32 buffer: a single device->host transfer replaces four
-    (each transfer through the dev tunnel pays a round trip).  Only the raw
-    final interval columns cross; probe/'$'-extension columns are closed-form
-    host reconstructions (ops/search.py::_final8/_lext_dna)."""
-    return jnp.concatenate(
-        [
-            idx[:k].astype(jnp.int32),
-            data[:k].reshape(-1).astype(jnp.int32),
-            final[:, :4].reshape(-1).astype(jnp.int32),
-        ]
-    )
-
-
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def _scan_stage_a_compact(
-    max_t, min_overlap, cap, plane, pred, length, chars, lens, lane_tab=None,
-):
-    emitted, valid, final, lext = _scan_stage_a(
-        max_t, min_overlap, plane, pred, length, chars, lens, lane_tab
-    )
-    count, idx, data, lext_has_dna = _compact_blocks(emitted, valid, lext, cap)
-    return count, idx, data, final, lext_has_dna
-
-
 def _unpack_2bit(words, lens, maxlen, right_align):
     """(n, maxlen//16) packed 2-bit words -> (n, maxlen) int32 ranks 1..4,
     0 outside the read span."""
@@ -289,30 +264,65 @@ GROUP_REV = 2      # reverse(seq) (reverse index)
 GROUP_COMP = 3     # complement(seq) (reverse index)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _scan_packed_compact(
-    max_t, min_overlap, cap, fwd_groups, rev_groups,
-    plane, pred, length, nblocks,
-    la_words, ra_words, lens,
-):
-    """Stage-A scan taking 2-bit packed reads; the per-step character matrix
-    of every orientation group is derived on device with flips/static rolls
-    (what crosses the host link is ~2 bits/char instead of a 32-bit char per
-    scan step — the dev-tunnel host link is ~10MB/s).
+def _pack_bits32(flags):
+    """bool [L] -> packed int32 words [ceil(L/32)] (bit j of word w =
+    flags[32w+j])."""
+    L = flags.shape[0]
+    nw = -(-L // 32)
+    pad = jnp.pad(flags.astype(jnp.uint32), (0, nw * 32 - L))
+    j = jnp.arange(32, dtype=jnp.uint32)
+    words = (pad.reshape(nw, 32) << j[None, :]).sum(axis=1, dtype=jnp.uint32)
+    return words.astype(jnp.int32)
 
-    la_words/ra_words: left-/right-aligned packings (n, maxlen//16) int32.
-    For a lane scanning transformed sequence s' the scan wants
-    chars[:, t] = s'[l-2-t] and chars[:, max_t] = s'[l-1]
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _scan_packed_v2(
+    max_t, min_overlap, cap, fcap, fwd_groups, rev_groups,
+    plane, pred, length, nblocks,
+    la_words, lens,
+):
+    """Stage-A scan over 2-bit packed reads: the production overlap kernel.
+
+    Only the left-aligned packing crosses the host link (~2 bits per char);
+    the right-aligned view and every orientation group's per-step character
+    matrix derive on device.  For a lane scanning transformed sequence s' the
+    scan wants chars[:, t] = s'[l-2-t] and chars[:, max_t] = s'[l-1]
     (src/overlap_builder.cpp:846-906 reads the query right-to-left); with
     ra[j] = seq[j-(L-l)] those are static columns:
       identity:   seq[l-2-t]        = roll(flip(ra), -1)
       rc:         comp(seq[t+1])    = comp(roll(la, -1))
       reverse:    seq[t+1]          = roll(la, -1)
       complement: comp(seq[l-2-t])  = comp(roll(flip(ra), -1))
+
+    The scan runs in two phases: a no-emission warmup for t < min_overlap-1
+    (blocks there can never be emitted, src/overlap_builder.cpp:857-874
+    requires overlap >= minOverlap) and an emitting phase after, so the
+    compaction nonzero only sweeps the steps that can produce blocks.  The
+    '$'-probe is closed-form ('$' is rank 0 with pred 0: plo = occ_$(lo-1),
+    size = occ_$(hi)-occ_$(lo-1), prlo = rlo), saving one update_left_core
+    per step.
+
+    Per-lane containment/substring classification also happens here: lext
+    from the lane's own table, rext from the other table (the stacked plane
+    holds both), probe-valid finals compacted to fcap candidate rows
+    [flo, fhi, frlo, frhi, occ_$(flo-1), occ_$(fhi)] — replacing a full
+    per-lane final transfer and host occ passes.
+
+    Returns (counts[2], idx[cap], data[cap,3], fidx[fcap], frows[fcap,6],
+    subwords[ceil(lanes/32)]); idx = lane*T2 + (t - (min_overlap-1)),
+    lane-major ascending.
     """
     maxlen = max_t + 1
     la = _unpack_2bit(la_words, lens, maxlen, right_align=False)
-    ra = _unpack_2bit(ra_words, lens, maxlen, right_align=True)
+    # right-aligned view via per-lane shift (take_along_axis beats uploading
+    # a second packing through the ~10MB/s dev tunnel)
+    j = jnp.arange(maxlen, dtype=jnp.int32)[None, :]
+    src = j - (maxlen - lens)[:, None]
+    ra = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(la, jnp.clip(src, 0, maxlen - 1), axis=1),
+        0,
+    )
     rra_roll = jnp.roll(jnp.flip(ra, axis=1), -1, axis=1)
     la_roll = jnp.roll(la, -1, axis=1)
     group_chars = {
@@ -325,15 +335,113 @@ def _scan_packed_compact(
     groups = tuple(fwd_groups) + tuple(rev_groups)
     chars = jnp.concatenate([group_chars[g]() for g in groups], axis=0)
     lens_all = jnp.tile(lens, (len(groups),))
+    nf, nr = len(fwd_groups), len(rev_groups)
     tab = jnp.concatenate(
-        [jnp.zeros(n * len(fwd_groups), jnp.int32),
-         jnp.zeros(n * len(rev_groups), jnp.int32) + nblocks]
+        [jnp.zeros(n * nf, jnp.int32), jnp.full((n * nr,), 1, jnp.int32) * nblocks]
     )
-    emitted, valid, final, lext = _scan_stage_a(
-        max_t, min_overlap, plane, pred, length, chars, lens_all, tab
+    tab_other = nblocks - tab
+    num_lanes = chars.shape[0]
+    tab2 = jnp.concatenate([tab, tab])
+    tab2_other = jnp.concatenate([tab_other, tab_other])
+
+    def occ(i, tabs):
+        return occ_all_fused(plane, length, i, tabs)
+
+    c0 = chars[:, max_t]  # chars[:, T] holds s'[l-1]
+    lo0 = pred[c0]
+    full = occ(jnp.full((num_lanes,), 1, jnp.int32) * (length - 1), tab)
+    hi0 = lo0 + jnp.take_along_axis(full, c0[..., None], axis=-1)[..., 0] - 1
+    state0 = (lo0, hi0, lo0, hi0)
+
+    def step_core(state, t, emit):
+        lo, hi, rlo, rhi = state
+        both = occ(jnp.concatenate([lo - 1, hi]), tab2)
+        l_counts = both[:num_lanes]
+        u_counts = both[num_lanes:]
+        active = t <= lens_all - 2
+        c = chars[:, t]
+        nlo, nhi, nrlo, nrhi = update_left_core(
+            lo, hi, rlo, rhi, c, l_counts, u_counts, pred
+        )
+        ns = (
+            jnp.where(active, nlo, lo),
+            jnp.where(active, nhi, hi),
+            jnp.where(active, nrlo, rlo),
+            jnp.where(active, nrhi, rhi),
+        )
+        if not emit:
+            return ns, ()
+        # closed-form '$' probe: prlo = rlo, prhi = rlo + psize - 1
+        psize = u_counts[:, 0] - l_counts[:, 0]
+        emit_valid = (psize > 0) & (rlo + psize - 1 >= 0) & active
+        emitted = jnp.stack([lo, rlo, hi - lo], axis=-1)
+        return ns, (emitted, emit_valid)
+
+    p1 = min(max(min_overlap - 1, 0), max_t)
+    T2 = max_t - p1
+    s1, _ = jax.lax.scan(
+        lambda s, t: step_core(s, t, False), state0,
+        jnp.arange(p1, dtype=jnp.int32),
     )
-    count, idx, data, lext_has_dna = _compact_blocks(emitted, valid, lext, cap)
-    return count, idx, data, final, lext_has_dna
+    if T2 > 0:
+        s2, (emitted, valid) = jax.lax.scan(
+            lambda s, t: step_core(s, t, True), s1,
+            jnp.arange(p1, max_t, dtype=jnp.int32),
+        )
+    else:
+        s2 = s1
+    flo, fhi, frlo, frhi = s2
+
+    # finals: lext from own table, rext from the other table, closed probe
+    both = occ(jnp.concatenate([flo - 1, fhi]), tab2)
+    l_counts = both[:num_lanes]
+    u_counts = both[num_lanes:]
+    lext_dna = (u_counts[:, 1:] - l_counts[:, 1:]).sum(axis=-1) > 0
+    both_r = occ(jnp.concatenate([frlo - 1, frhi]), tab2_other)
+    rext_dna = (both_r[num_lanes:, 1:] - both_r[:num_lanes, 1:]).sum(axis=-1) > 0
+    substring = lext_dna | rext_dna
+    l0 = l_counts[:, 0]
+    u0 = u_counts[:, 0]
+    psize_f = u0 - l0
+    # probe pair validity (native pair_valid semantics, extractor.cpp:321):
+    # probe = (l0, u0-1, frlo, frlo+psize-1)
+    fvalid = (psize_f > 0) & (u0 - 1 >= 0) & (frlo + psize_f - 1 >= 0) & (
+        frlo + psize_f - 1 >= frlo
+    )
+    fcount = fvalid.sum(dtype=jnp.int32)
+    (fidx,) = jnp.nonzero(fvalid, size=fcap, fill_value=num_lanes - 1)
+    frows = jnp.stack([flo, fhi, frlo, frhi, l0, u0], axis=-1)[fidx]
+    subwords = _pack_bits32(substring)
+
+    if T2 > 0:
+        vT = valid.T.reshape(-1)  # lane-major flat index = lane*T2 + trel
+        count = vT.sum(dtype=jnp.int32)
+        (idx,) = jnp.nonzero(vT, size=cap, fill_value=T2 * num_lanes - 1)
+        eT = emitted.transpose(1, 0, 2).reshape(num_lanes * T2, 3)
+        data = eT[idx]
+        idx = idx.astype(jnp.int32)
+    else:
+        count = jnp.int32(0)
+        idx = jnp.zeros((cap,), jnp.int32)
+        data = jnp.zeros((cap, 3), jnp.int32)
+    counts = jnp.stack([count, fcount])
+    return counts, idx, data, fidx.astype(jnp.int32), frows.astype(jnp.int32), subwords
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pack_v2(k, fk, idx, data, fidx, frows, subwords):
+    """Slice the compacted scan outputs to the observed counts and fuse them
+    into ONE int32 buffer — a single device->host transfer (each transfer
+    through the dev tunnel pays a round trip)."""
+    return jnp.concatenate(
+        [
+            idx[:k],
+            data[:k].reshape(-1),
+            fidx[:fk],
+            frows[:fk].reshape(-1),
+            subwords,
+        ]
+    )
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -412,11 +520,12 @@ def _scan_stage_a(max_t, min_overlap, plane, pred, length, chars, lens, lane_tab
 
 
 def _slice_size(nblocks: int, cap: int) -> int:
-    """Device-side slice size before transfer: pow2 buckets up to 1024, then
-    4096 granules (bounded distinct shapes, at most ~46%% over-transfer for
-    small counts and ~9%% for large)."""
+    """Device-side slice size before transfer: pow2 buckets (floored at 256
+    so tiny counts do not each compile a fresh slice shape) up to 1024, then
+    4096 granules (bounded distinct shapes, at most ~46% over-transfer for
+    small counts and ~9% for large)."""
     if nblocks <= 1024:
-        p = 1
+        p = 256
         while p < max(nblocks, 1):
             p *= 2
         return min(p, cap)
@@ -430,126 +539,41 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-class StageAScanner:
-    """Runs the stage-A scan for one (index, rindex) orientation pair.
-
-    With a mesh, read lanes shard over the `data` axis and the index tables
-    replicate (GSPMD partitions the scan; lanes are independent) — the TPU
-    analog of the reference's per-thread read fan-out
-    (src/parallel_framework.h:16-59).
-    """
-
-    def __init__(self, dfm: DeviceFM, mesh=None):
-        self.dfm = dfm
-        self.mesh = mesh
-        self._cap = 1024  # adaptive: grows to fit the observed block count
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            repl = NamedSharding(mesh, P())
-            self.dfm.codes = jax.device_put(self.dfm.codes, repl)
-            self.dfm.checkpoints = jax.device_put(self.dfm.checkpoints, repl)
-            self.dfm.pred = jax.device_put(self.dfm.pred, repl)
-            self.dfm.packed_words = jax.device_put(self.dfm.packed_words, repl)
-            self.dfm.dollar_words = jax.device_put(self.dfm.dollar_words, repl)
-            self.dfm.occ_plane = jax.device_put(self.dfm.occ_plane, repl)
-            self._lane_sharding = NamedSharding(mesh, P("data", None))
-            self._vec_sharding = NamedSharding(mesh, P("data"))
-
-    def _put(self, chars: np.ndarray, lens: np.ndarray):
-        if self.mesh is None:
-            return jnp.asarray(chars), jnp.asarray(lens)
-        return (
-            jax.device_put(chars, self._lane_sharding),
-            jax.device_put(lens, self._vec_sharding),
-        )
-
-    def dispatch(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
-        """Launch the scan asynchronously; returns a handle for collect()."""
-        num_lanes, maxlen = seqs_ranks.shape
-        max_t = maxlen - 1
-        # chars[:, t] = seq[l-2-t] for t < l-1; chars[:, max_t] = seq[l-1]
-        chars = np.zeros((num_lanes, max_t + 1), dtype=np.int32)
-        for c_t in range(max_t):
-            idx = lens - 2 - c_t
-            ok = idx >= 0
-            chars[ok, c_t] = seqs_ranks[ok, idx[ok]]
-        chars[np.arange(num_lanes), max_t] = seqs_ranks[
-            np.arange(num_lanes), lens - 1
-        ]
-        chars_d, lens_d = self._put(chars, lens.astype(np.int32))
-
-        cap = self._cap
-        out = _scan_stage_a_compact(
-            max_t,
-            min_overlap,
-            cap,
-            self.dfm.occ_plane,
-            self.dfm.pred,
-            jnp.int32(self.dfm.length),
-            chars_d,
-            lens_d,
-        )
-        return (out, cap, num_lanes, max_t, min_overlap, chars_d, lens_d)
-
-    def collect(self, handle):
-        (count, idx, data, final, lext), cap, num_lanes, max_t, min_overlap, chars_d, lens_d = handle
-        nblocks = int(count)
-        while nblocks > cap:
-            cap = _next_pow2(nblocks)
-            self._cap = cap  # remember for future dispatches
-            count, idx, data, final, lext = _scan_stage_a_compact(
-                max_t,
-                min_overlap,
-                cap,
-                self.dfm.occ_plane,
-                self.dfm.pred,
-                jnp.int32(self.dfm.length),
-                chars_d,
-                lens_d,
-            )
-            nblocks = int(count)
-
-        # device-side slice before transfer (pow2 buckets bound the number of
-        # distinct slice shapes): only ~real blocks cross the link
-        k = _slice_size(nblocks, cap)
-        idx = np.asarray(idx[:k])[:nblocks].astype(np.int64)
-        data = np.asarray(data[:k])[:nblocks]
-        final = np.asarray(final)
-        lext = np.asarray(lext)
-        lane = idx % num_lanes
-        t = idx // num_lanes
-        order = np.lexsort((t, lane))
-        return lane[order], t[order], data[order], final, lext
-
-    def scan(self, seqs_ranks: np.ndarray, lens: np.ndarray, min_overlap: int):
-        """Synchronous dispatch+collect (see those methods)."""
-        return self.collect(self.dispatch(seqs_ranks, lens, min_overlap))
-
-
 def pack_reads_2bit(seqs, n: int, maxlen: int):
-    """Host-side 2-bit packing of a chunk of reads, both alignments.
+    """Host-side 2-bit left-aligned packing of a chunk of reads.
 
-    Returns (la_words, ra_words, lens): (n, maxlen//16) int32 packed words
-    (symbol j in bits [2j%32, 2j%32+2) of word j//16) and int32 lengths.
-    Empty/padding rows get length 1 (their lanes never emit)."""
+    Returns (la_words, lens): (n, maxlen//16) int32 packed words (symbol j in
+    bits [2j%32, 2j%32+2) of word j//16) and int32 lengths.  Empty/padding
+    rows get length 1 (their lanes never emit)."""
     from ..core import dna
 
-    la = np.zeros((n, maxlen), dtype=np.uint32)
-    ra = np.zeros((n, maxlen), dtype=np.uint32)
     lens = np.ones(n, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        if not s:
-            continue
-        codes = dna.encode(s).astype(np.uint32) - 1
-        la[i, : len(s)] = codes
-        ra[i, maxlen - len(s):] = codes
-        lens[i] = len(s)
+    real_lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
+    lens[: len(seqs)] = np.maximum(real_lens, 1)
+    flat = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)
+    enc = dna.RANK_LUT[flat].astype(np.uint32)
+    if enc.size and enc.min() == 0:
+        # rank 0 would underflow the 2-bit packing and carry-corrupt the
+        # whole containing word; the device engine only handles pure
+        # ACGT reads (the host engine treats rank 0 as a '$' update)
+        raise ValueError(
+            "read contains non-ACGT symbols; run `siga preprocess` "
+            "first or use --engine=host"
+        )
+    codes = enc - 1
+    # scatter each read's codes into its left-aligned row (the right-aligned
+    # view is derived on device, _scan_packed_v2)
+    total = int(real_lens.sum())
+    row = np.repeat(np.arange(len(seqs), dtype=np.int64), real_lens)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(real_lens, dtype=np.int64) - real_lens, real_lens
+    )
+    la = np.zeros((n, maxlen), dtype=np.uint32)
+    la[row, intra] = codes
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
     w = maxlen // 16
     la_w = (la.reshape(n, w, 16) << shifts).sum(axis=2, dtype=np.uint32)
-    ra_w = (ra.reshape(n, w, 16) << shifts).sum(axis=2, dtype=np.uint32)
-    return la_w.view(np.int32), ra_w.view(np.int32), lens
+    return la_w.view(np.int32), lens
 
 
 class DualScanner:
@@ -558,17 +582,18 @@ class DualScanner:
     The C arrays of the forward and reversed text are identical (same symbol
     totals), so `pred` is shared.
 
-    Reads cross the host link 2-bit packed (la/ra alignments); the per-step
-    character matrices of all orientation lane groups are derived on device
-    (_scan_packed_compact).  Lane layout: fwd-index groups first, then
-    rev-index groups, each with stride n."""
+    Reads cross the host link 2-bit packed (left-aligned only); the
+    right-aligned view and the per-step character matrices of all
+    orientation lane groups are derived on device (_scan_packed_v2).  Lane
+    layout: fwd-index groups first, then rev-index groups, each with
+    stride n."""
 
     def __init__(self, dfwd: DeviceFM, drev: DeviceFM, mesh=None,
                  fwd_groups=(GROUP_ID, GROUP_RC),
                  rev_groups=(GROUP_REV, GROUP_COMP)):
         assert dfwd.length == drev.length
         self.length = dfwd.length
-        self.nblocks = dfwd.packed_words.shape[0]
+        self.nblocks = dfwd.nblocks
         self.fwd_groups = tuple(fwd_groups)
         self.rev_groups = tuple(rev_groups)
         plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
@@ -588,64 +613,106 @@ class DualScanner:
         # while an oversized cap only costs device-side scratch (transfers
         # slice to the observed count)
         self._cap = 65536
+        self._fcap = 4096
 
-    def _put(self, la_w, ra_w, lens):
+    def _put(self, la_w, lens):
         if self.mesh is None:
-            return jnp.asarray(la_w), jnp.asarray(ra_w), jnp.asarray(lens)
+            return jnp.asarray(la_w), jnp.asarray(lens)
         return (
             jax.device_put(la_w, self._lane_sharding),
-            jax.device_put(ra_w, self._lane_sharding),
             jax.device_put(lens, self._vec_sharding),
         )
 
-    def _run(self, cap, max_t, min_overlap, la_d, ra_d, lens_d):
-        return _scan_packed_compact(
-            max_t, min_overlap, cap, self.fwd_groups, self.rev_groups,
+    def _run(self, cap, fcap, max_t, min_overlap, la_d, lens_d):
+        return _scan_packed_v2(
+            max_t, min_overlap, cap, fcap, self.fwd_groups, self.rev_groups,
             self.plane, self.pred,
             jnp.int32(self.length), jnp.int32(self.nblocks),
-            la_d, ra_d, lens_d,
+            la_d, lens_d,
         )
 
     def dispatch(self, seqs, n: int, maxlen: int, min_overlap: int):
         """All orientation lanes of a chunk of (at most n) reads in one
         launch.  maxlen must be a multiple of 16 and > the longest read."""
-        la_w, ra_w, lens = pack_reads_2bit(seqs, n, maxlen)
-        la_d, ra_d, lens_d = self._put(la_w, ra_w, lens)
+        la_w, lens = pack_reads_2bit(seqs, n, maxlen)
+        la_d, lens_d = self._put(la_w, lens)
         max_t = maxlen - 1
-        cap = self._cap
-        out = self._run(cap, max_t, min_overlap, la_d, ra_d, lens_d)
-        return (out, cap, n, max_t, min_overlap, la_d, ra_d, lens_d)
+        cap, fcap = self._cap, self._fcap
+        out = self._run(cap, fcap, max_t, min_overlap, la_d, lens_d)
+        return (out, cap, fcap, n, max_t, min_overlap, la_d, lens_d)
 
     def collect(self, handle):
-        (count, idx, data, final, lext), cap, n, max_t, min_overlap, la_d, ra_d, lens_d = handle
-        nblocks = int(count)
-        while nblocks > cap:
-            cap = _next_pow2(nblocks)
-            self._cap = cap
-            count, idx, data, final, lext = self._run(
-                cap, max_t, min_overlap, la_d, ra_d, lens_d
-            )
-            nblocks = int(count)
+        """Fetch one dispatched chunk.
 
-        num_lanes = n * (len(self.fwd_groups) + len(self.rev_groups))
-        half = n * len(self.fwd_groups)
+        Returns (f_view, r_view), each (lane, t, data4, cand_lanes,
+        cand_rows6, substr_flags):
+          lane/t/data4: emitted blocks sorted lane-major, t ascending;
+            data4 = [lo, hi, rlo, rhi] (hi/rhi from the size invariant);
+          cand_lanes: lanes whose full-length '$'-probe is a valid pair
+            (containment candidates), ascending;
+          cand_rows6: [flo, fhi, frlo, frhi, occ_$(flo-1), occ_$(fhi)] per
+            candidate — the probe pair is the closed form
+            (l0, u0-1, frlo, frlo+(u0-l0)-1);
+          substr_flags: uint8 [lanes] — lext|rext DNA extension of the
+            full-length interval (the substring-read test, computed fully
+            on device)."""
+        (out, cap, fcap, n, max_t, min_overlap, la_d, lens_d) = handle
+        counts_d, idx, data, fidx, frows, subwords = out
+        counts = np.asarray(counts_d)
+        nblocks, fcount = int(counts[0]), int(counts[1])
+        while nblocks > cap or fcount > fcap:
+            if nblocks > cap:
+                cap = _next_pow2(nblocks)
+                self._cap = cap
+            if fcount > fcap:
+                fcap = _next_pow2(fcount)
+                self._fcap = fcap
+            counts_d, idx, data, fidx, frows, subwords = self._run(
+                cap, fcap, max_t, min_overlap, la_d, lens_d
+            )
+            counts = np.asarray(counts_d)
+            nblocks, fcount = int(counts[0]), int(counts[1])
+
+        nf, nr = len(self.fwd_groups), len(self.rev_groups)
+        num_lanes = n * (nf + nr)
+        half = n * nf
         k = _slice_size(nblocks, cap)
-        packed = np.asarray(_pack_outputs(k, idx, data, final))
-        idx = packed[:k][:nblocks].astype(np.int64)
-        data3 = packed[k : 4 * k].reshape(k, 3)[:nblocks]
-        final4 = packed[4 * k :].reshape(num_lanes, 4)
-        # reconstruct [lo, hi, rlo, rhi] from [lo, rlo, size]
+        fk = _slice_size(fcount, fcap)
+        packed = np.asarray(_pack_v2(k, fk, idx, data, fidx, frows, subwords))
+        pos = k
+        idx_h = packed[:k][:nblocks].astype(np.int64)
+        data3 = packed[pos : pos + 3 * k].reshape(k, 3)[:nblocks]
+        pos += 3 * k
+        cand_lanes = packed[pos : pos + fk][:fcount].astype(np.int64)
+        pos += fk
+        cand_rows = packed[pos : pos + 6 * fk].reshape(fk, 6)[:fcount].astype(np.int64)
+        pos += 6 * fk
+        subwords_h = packed[pos:].view(np.uint32)
+        subbits = (
+            (subwords_h[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+        ).astype(np.uint8).reshape(-1)[:num_lanes]
+
+        # reconstruct [lo, hi, rlo, rhi] from [lo, rlo, size]; idx is already
+        # lane-major with t ascending (lane*T2 + t - (min_overlap-1))
         data = np.empty((nblocks, 4), dtype=np.int64)
         data[:, 0] = data3[:, 0]
         data[:, 1] = data3[:, 0] + data3[:, 2]
         data[:, 2] = data3[:, 1]
         data[:, 3] = data3[:, 1] + data3[:, 2]
-        lane = idx % num_lanes
-        t = idx // num_lanes
-        order = np.lexsort((t, lane))
-        lane, t, data = lane[order], t[order], data[order]
+        p1 = min(max(min_overlap - 1, 0), max_t)
+        t2 = max_t - p1
+        if t2 > 0 and nblocks:
+            lane = idx_h // t2
+            t = idx_h % t2 + p1
+        else:
+            lane = np.zeros(0, dtype=np.int64)
+            t = np.zeros(0, dtype=np.int64)
+            data = data[:0]
         # split back into the fwd and rev scanner views
         is_f = lane < half
-        f_view = (lane[is_f], t[is_f], data[is_f], final4[:half])
-        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f], final4[half:])
+        cf = cand_lanes < half
+        f_view = (lane[is_f], t[is_f], data[is_f],
+                  cand_lanes[cf], cand_rows[cf], subbits[:half])
+        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f],
+                  cand_lanes[~cf] - half, cand_rows[~cf], subbits[half:])
         return f_view, r_view

@@ -31,6 +31,23 @@ from .fm_device import DeviceFM, DualScanner
 CHUNK_READS = 8192
 
 
+def _bucket_len(n_chars: int) -> int:
+    """Scan-depth bucket: multiple of 16 (the 2-bit word width), floor 64.
+    Multiples of 16 instead of pow2 so 100bp reads scan 112 steps, not 128."""
+    return max(64, -(-n_chars // 16) * 16)
+
+
+def _bucket_reads(n: int, chunk_reads: int, ndev: int) -> int:
+    """Lane-count bucket for a (tail) chunk: pow2 from 1024 up to the chunk
+    width, rounded to the mesh size so sharded lanes divide evenly."""
+    b = 1024
+    while b < n:
+        b *= 2
+    b = min(b, chunk_reads)
+    b += (-b) % max(ndev, 1)
+    return max(b, n)
+
+
 def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
     """Pack to fixed (num_lanes, maxlen) so the scan compiles once.  Padding
     lanes get length 1 (they emit nothing and their containment rows are
@@ -43,22 +60,23 @@ def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
     return out, lens
 
 
-def _final8(fmi: FMIndex, final4: np.ndarray) -> np.ndarray:
-    """Per-lane [flo,fhi,frlo,frhi, plo,phi,prlo,prhi] from the raw final
-    interval: the probe columns are updateL('$') (closed form, see
-    _with_probe)."""
-    wp = _with_probe(fmi, final4)
-    return np.concatenate([wp[:, 4:], wp[:, :4]], axis=1)
-
-
-def _lext_dna(fmi: FMIndex, final4: np.ndarray) -> np.ndarray:
-    """Per-lane flag: does the full-read interval extend left with any DNA
-    symbol in its own index (half of the substring test; the other index's
-    right-extension half happens in _Containments/native)."""
-    lo = final4[:, 0].astype(np.int64)
-    hi = final4[:, 1].astype(np.int64)
-    diff = fmi.occ_all(hi) - fmi.occ_all(lo - 1)
-    return (diff[:, 1:].sum(axis=1) > 0).astype(np.uint8)
+def _final8_from_cands(
+    num_lanes: int, cand_lanes: np.ndarray, cand_rows: np.ndarray
+) -> np.ndarray:
+    """Per-lane [flo,fhi,frlo,frhi, plo,phi,prlo,prhi] for the native chunk
+    processor, filled from the device's compacted containment candidates.
+    Non-candidate lanes get invalid sentinel pairs (lo=0, hi=-1) so the
+    native pair_valid check rejects them without occ work."""
+    out = np.empty((num_lanes, 8), dtype=np.int64)
+    out[:, 0::2] = 0
+    out[:, 1::2] = -1
+    if len(cand_lanes):
+        flo, fhi, frlo, frhi, l0, u0 = cand_rows.T
+        out[cand_lanes] = np.stack(
+            [flo, fhi, frlo, frhi, l0, u0 - 1, frlo, frlo + (u0 - l0) - 1],
+            axis=1,
+        )
+    return out
 
 
 def _with_probe(fmi: FMIndex, data4: np.ndarray) -> np.ndarray:
@@ -107,39 +125,47 @@ class _ScanBlocks:
 
 
 class _Containments:
-    """Batched containment/substring classification over all lanes of a scan
-    (the other index's occ for rext + the final '$' right-update, computed in
-    two batched occ pairs)."""
+    """Containment/substring classification from the device's compacted
+    candidates: substring flags (lext|rext) and probe-valid finals come from
+    the scan; only the final updateR('$') counts need one host occ pair over
+    the (few) candidates."""
 
-    def __init__(self, final: np.ndarray, lext_has_dna: np.ndarray, rindex: FMIndex):
-        self.final = final
-        frlo = final[:, 2].astype(np.int64)
-        frhi = final[:, 3].astype(np.int64)
-        rext = rindex.occ_all(frhi) - rindex.occ_all(frlo - 1)
-        self.substring = (lext_has_dna.astype(bool)) | (rext[:, 1:].sum(axis=1) > 0)
-        prlo = final[:, 6].astype(np.int64)
-        prhi = final[:, 7].astype(np.int64)
-        self.p_l = rindex.occ_all(prlo - 1)
-        self.p_u = rindex.occ_all(prhi)
+    def __init__(
+        self,
+        cand_lanes: np.ndarray,
+        cand_rows: np.ndarray,
+        substr_flags: np.ndarray,
+        rindex: FMIndex,
+    ):
+        self.substring = substr_flags
+        self.cand_lanes = cand_lanes
+        self.rows = cand_rows
+        if len(cand_lanes):
+            frlo = cand_rows[:, 2]
+            psize = cand_rows[:, 5] - cand_rows[:, 4]
+            prhi = frlo + psize - 1
+            self.p_l = rindex.occ_all(frlo - 1)
+            self.p_u = rindex.occ_all(prhi)
 
     def get(self, lane: int, seqlen: int, af: int, result: OverlapResult):
         if self.substring[lane]:
             result.substring = True
             return None
-        flo, fhi, frlo, frhi, plo, phi, prlo, prhi = (
-            int(v) for v in self.final[lane]
-        )
+        i = int(np.searchsorted(self.cand_lanes, lane))
+        if i >= len(self.cand_lanes) or self.cand_lanes[i] != lane:
+            return None
+        flo, fhi, frlo, frhi, l0, u0 = (int(v) for v in self.rows[i])
         raw = IntervalPair(flo, fhi, frlo, frhi)
-        probe = IntervalPair(plo, phi, prlo, prhi)
-        if probe.valid():
-            # updateR('$') from the cached counts: pred['$'] == 0
-            diff0 = int(self.p_u[lane, 0] - self.p_l[lane, 0])
-            probe.hi = probe.lo + diff0 - 1
-            probe.rlo = int(self.p_l[lane, 0])
-            probe.rhi = int(self.p_u[lane, 0]) - 1
-            assert probe.valid()
-            return OverlapBlock(probe, raw, seqlen, af)
-        return None
+        # closed-form '$' probe of the full-length interval, then
+        # updateR('$') from the cached counts (pred['$'] == 0)
+        probe = IntervalPair(l0, u0 - 1, frlo, frlo + (u0 - l0) - 1)
+        assert probe.valid()
+        diff0 = int(self.p_u[i, 0] - self.p_l[i, 0])
+        probe.hi = probe.lo + diff0 - 1
+        probe.rlo = int(self.p_l[i, 0])
+        probe.rhi = int(self.p_u[i, 0]) - 1
+        assert probe.valid()
+        return OverlapBlock(probe, raw, seqlen, af)
 
 
 def batch_overlap_hits(
@@ -198,13 +224,6 @@ def _batch_overlap_ordered(
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
     chunk_reads += (-chunk_reads) % max(ndev, 1)
 
-    def _bucket_len(n_chars: int) -> int:
-        # bounded set of scan depths: pow2 buckets from 64 up
-        b = 64
-        while b < n_chars:
-            b *= 2
-        return b
-
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
@@ -212,10 +231,13 @@ def _batch_overlap_ordered(
         # shape bucket varies (heterogeneous inputs like contig re-overlap
         # would otherwise pay the global maximum length every chunk)
         maxlen = _bucket_len(max(len(s) for s in seqs))
+        # tail chunks scan in a smaller lane bucket instead of paying the
+        # full chunk width
+        n_bucket = _bucket_reads(len(chunk), chunk_reads, ndev)
         # 2-bit packed upload; all orientation lane groups ([seq, rc(seq)]
         # against the forward index, [reverse(seq), complement(seq)] against
         # the reverse index) are derived on device
-        h = scanner.dispatch(seqs, chunk_reads, maxlen, min_overlap)
+        h = scanner.dispatch(seqs, n_bucket, maxlen, min_overlap)
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
@@ -226,14 +248,12 @@ def _batch_overlap_ordered(
         chunk, h = inflight.pop(0)
         if ci + LOOKAHEAD < len(starts):
             inflight.append(dispatch(starts[ci + LOOKAHEAD]))
-        n = chunk_reads
         f_view, r_view = scanner.collect(h)
-        f_lane, f_t, f_data, f_fi4 = f_view
-        r_lane, r_t, r_data, r_fi4 = r_view
+        f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
+        r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
+        n = len(f_sub) // (2 if builder.rc else 1)  # lane bucket of the chunk
         f_data = _with_probe(fmi, f_data)
         r_data = _with_probe(rfmi, r_data)
-        f_fi, f_le = _final8(fmi, f_fi4), _lext_dna(fmi, f_fi4)
-        r_fi, r_le = _final8(rfmi, r_fi4), _lext_dna(rfmi, r_fi4)
         num_lanes = 2 * n if builder.rc else n
 
         proc = _native_chunk_processor(builder)
@@ -241,13 +261,15 @@ def _batch_overlap_ordered(
             lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
             f_starts = np.searchsorted(f_lane, np.arange(num_lanes + 1))
             r_starts = np.searchsorted(r_lane, np.arange(num_lanes + 1))
+            f_fi = _final8_from_cands(num_lanes, f_cl, f_cr)
+            r_fi = _final8_from_cands(num_lanes, r_cl, r_cr)
             outs, substr, failed = proc.run(
                 lens_chunk,
                 builder.rc,
                 builder.irreducible,
                 n,
-                (f_starts, f_t, f_data, f_fi, f_le),
-                (r_starts, r_t, r_data, r_fi, r_le),
+                (f_starts, f_t, f_data, f_fi, f_sub),
+                (r_starts, r_t, r_data, r_fi, r_sub),
             )
             for k, rec in enumerate(chunk):
                 yield _LazyHit(start + k, bool(substr[k]), outs[k])
@@ -255,8 +277,8 @@ def _batch_overlap_ordered(
 
         f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
         r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
-        f_contain = _Containments(f_fi, f_le, rfmi)
-        r_contain = _Containments(r_fi, r_le, fmi)
+        f_contain = _Containments(f_cl, f_cr, f_sub, rfmi)
+        r_contain = _Containments(r_cl, r_cr, r_sub, fmi)
 
         pending = []
         tasks = []
@@ -448,11 +470,10 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
         seqs = [r.seq for r in chunk]
-        maxlen = 64
-        while maxlen < max(len(s) for s in seqs):
-            maxlen *= 2
+        maxlen = _bucket_len(max(len(s) for s in seqs))
+        n_bucket = _bucket_reads(len(chunk), chunk_reads, ndev)
         # min_overlap > maxlen: no overlap blocks emitted, only finals matter
-        h = scanner.dispatch(seqs, chunk_reads, maxlen, maxlen + 1)
+        h = scanner.dispatch(seqs, n_bucket, maxlen, maxlen + 1)
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
@@ -463,11 +484,11 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
         chunk, h = inflight.pop(0)
         if ci + LOOKAHEAD < len(starts):
             inflight.append(dispatch(starts[ci + LOOKAHEAD]))
-        (f_lane, f_t, f_data, f_fi4), (r_lane, r_t, r_data, r_fi4) = (
-            scanner.collect(h)
-        )
-        f_contain = _Containments(_final8(fmi, f_fi4), _lext_dna(fmi, f_fi4), rfmi)
-        r_contain = _Containments(_final8(rfmi, r_fi4), _lext_dna(rfmi, r_fi4), fmi)
+        f_view, r_view = scanner.collect(h)
+        (_, _, _, f_cl, f_cr, f_sub) = f_view
+        (_, _, _, r_cl, r_cr, r_sub) = r_view
+        f_contain = _Containments(f_cl, f_cr, f_sub, rfmi)
+        r_contain = _Containments(r_cl, r_cr, r_sub, fmi)
         for k, rec in enumerate(chunk):
             seqlen = len(rec.seq)
             result = OverlapResult()
