@@ -37,9 +37,19 @@ def run(opts: dict, arguments: List[str]) -> int:
     seqs = [r.seq for r in records]
 
     t0 = time.time()
-    if not opts.get("no-forward"):
+    if not (opts.get("no-forward") or opts.get("no-reverse")):
+        # both directions batch into one device program (two rows of the
+        # same sort — one launch, one transfer)
+        fbwt, fperm, rbwt, rperm, ns = sa_mod.build_index_arrays_pair(
+            seqs, use_device=use_device
+        )
+        sai_mod.save_sai(output + SAI_EXT, fperm, ns)
+        bwtio.save_bwt(output + BWT_EXT, fbwt, ns)
+        sai_mod.save_sai(output + RSAI_EXT, rperm, ns)
+        bwtio.save_bwt(output + RBWT_EXT, rbwt, ns)
+    elif not opts.get("no-forward"):
         build_one(seqs, output + SAI_EXT, output + BWT_EXT, use_device)
-    if not opts.get("no-reverse"):
+    elif not opts.get("no-reverse"):
         rev = [s[::-1] for s in seqs]
         build_one(rev, output + RSAI_EXT, output + RBWT_EXT, use_device)
     maxrss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024 / 1073741824.0

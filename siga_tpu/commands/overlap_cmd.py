@@ -10,7 +10,6 @@ default single shard reproduces a single-thread reference run ordering.
 """
 from __future__ import annotations
 
-import gzip
 import sys
 from typing import List
 
@@ -64,7 +63,7 @@ def build_overlaps(
     hit_paths = [
         f"{prefix}-thread{i}{HITS_EXT}{GZIP_EXT}" for i in range(max(1, shards))
     ]
-    hit_files = [gzip.open(p, "wt") for p in hit_paths]
+    hit_files = [fastx.xopen(p, "wt") for p in hit_paths]
 
     if engine in ("auto", "tpu"):
         from ..ops.search import batch_overlap_hits
@@ -73,10 +72,26 @@ def build_overlaps(
     else:
         hits_iter = _host_hits(builder, records, min_overlap)
 
+    # keep the (idx, blocks) arrays in memory while they fit so the ED pass
+    # below does not re-read + re-parse the hits files it just wrote (the
+    # files remain the stage checkpoint either way)
+    MEM_BLOCK_BUDGET = 4_000_000
+    in_mem: list = []
+    mem_blocks = 0
     try:
         for idx, (rec, hit) in enumerate(zip(records, hits_iter)):
             hit_files[idx % len(hit_files)].write(hit.serialize() + "\n")
             write_vertex_record(out, rec, hit.substring)
+            if in_mem is not None:
+                arr = getattr(hit, "_array", None)
+                if arr is None:
+                    from ..ops.search import _blocks_to_array
+
+                    arr = _blocks_to_array(hit.blocks)
+                in_mem.append((hit.idx, arr))
+                mem_blocks += len(arr)
+                if mem_blocks > MEM_BLOCK_BUDGET:
+                    in_mem = None  # too big: fall back to re-reading hits
     finally:
         for f in hit_files:
             f.close()
@@ -84,21 +99,32 @@ def build_overlaps(
     sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)
     rsa_perm, _ = sai_mod.load_sai(prefix + RSAI_EXT)
     converter = BatchHitConverter(sa_perm, rsa_perm, names, lengths)
-    for path in hit_paths:
-        with gzip.open(path, "rt") as f:
-            batch = []
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                idx, _sub, arr = Hit.parse_array(line)
-                batch.append((idx, arr))
-                if len(batch) >= 4096:
-                    for ed in converter.convert_lines(batch):
-                        out.write(ed + "\n")
-                    batch = []
+
+    def batches():
+        if in_mem is not None:
+            # hits were written shard-round-robin; ED order must match the
+            # shard-sequential re-read order
+            for shard in range(len(hit_paths)):
+                yield from in_mem[shard :: len(hit_paths)]
+            return
+        for path in hit_paths:
+            with fastx.xopen(path, "rt") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    idx, _sub, arr = Hit.parse_array(line)
+                    yield idx, arr
+
+    batch = []
+    for item in batches():
+        batch.append(item)
+        if len(batch) >= 4096:
             for ed in converter.convert_lines(batch):
                 out.write(ed + "\n")
+            batch = []
+    for ed in converter.convert_lines(batch):
+        out.write(ed + "\n")
     out.close()
     return True
 

@@ -33,19 +33,20 @@ class FMIndex:
         n = self.codes.size
         self.length = n
         nblocks = n // SAMPLE + 1
-        # checkpoints[j, c] = count of symbol c in codes[: j*SAMPLE]
+        # checkpoints[j, c] = count of symbol c in codes[: j*SAMPLE]; one
+        # bincount over (block, symbol) keys + a cumsum over blocks (an n x 5
+        # one-hot cumsum is ~SAMPLE x more memory traffic)
         onehot = np.zeros((nblocks, dna.ALL_SIZE), dtype=np.int64)
+        totals = np.zeros(dna.ALL_SIZE, dtype=np.int64)
         if n:
-            counts = np.zeros((n, dna.ALL_SIZE), dtype=np.int32)
-            counts[np.arange(n), self.codes] = 1
-            csum = np.cumsum(counts, axis=0, dtype=np.int64)
-            block_ends = np.arange(1, nblocks) * SAMPLE
-            onehot[1:] = csum[block_ends - 1]
+            key = (np.arange(n, dtype=np.int64) // SAMPLE) * dna.ALL_SIZE
+            key += self.codes
+            per_block = np.bincount(
+                key, minlength=nblocks * dna.ALL_SIZE
+            ).reshape(nblocks, dna.ALL_SIZE)
+            onehot[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)
+            totals = per_block.sum(axis=0, dtype=np.int64)
         self.checkpoints = onehot
-        totals = self.checkpoints[-1].copy()
-        if n:
-            tail = self.codes[(nblocks - 1) * SAMPLE :]
-            totals += np.bincount(tail, minlength=dna.ALL_SIZE)
         self.totals = totals
         # C(a): number of symbols strictly smaller than a
         self.pred = np.concatenate(([0], np.cumsum(totals)[:-1]))

@@ -48,15 +48,18 @@ def concat_reads(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarra
 
 
 def _pad_size(n_real: int) -> int:
-    """Pad the text to a bounded set of shapes: pow2 up to 4M, then multiples
-    of 4M.  Pow2 padding above ~64M wasted up to 1.5x HBM during the sort
-    (enough to OOM a 90M-char build on one chip)."""
+    """Pad the text to a bounded set of shapes: pow2 up to 1M, then multiples
+    of pow2/8 (at most 12.5% padding waste, <=8 distinct shapes per octave).
+    Pow2 padding above ~64M wasted up to 1.5x HBM during the sort (enough to
+    OOM a 90M-char build on one chip)."""
     n = 1024
-    while n < n_real and n < (1 << 22):
+    while n < n_real and n < (1 << 20):
         n *= 2
     if n_real <= n:
         return n
-    step = 1 << 22
+    step = 1 << 20
+    while step * 16 < n_real:
+        step *= 2
     return ((n_real + step - 1) // step) * step
 
 
@@ -95,84 +98,121 @@ def suffix_array_numpy(codes: np.ndarray) -> np.ndarray:
 
 
 def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
-    """Device prefix-doubling suffix array (jnp; one 64-bit key sort per round).
-
-    The number of rounds is ceil(log2(max distance to the next sentinel)) + 1,
-    computed on host so the device program has static shape per round count.
-    """
-    import jax
+    """Device suffix array (gram-seeded batched prefix doubling, B=1)."""
     import jax.numpy as jnp
 
     n_real = int(codes.size)
     if n_real <= 1:
         return np.arange(n_real, dtype=np.int64)
-
-    # max rounds: ranks become distinct once h exceeds the longest read span
-    sent_pos = np.flatnonzero(codes == 0)
-    prev = np.concatenate(([-1], sent_pos[:-1]))
-    max_span = int((sent_pos - prev).max())  # read length + 1
-    rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
-
-    # Pad the text to a bounded shape bucket so the sort compiles once per
-    # bucket.  Pad symbols get distinct initial ranks above every real rank
-    # and increasing with position, so they occupy the SA tail in position
-    # order and never perturb the real suffix order.
+    rounds = _sa_rounds(_max_span(codes))
     n = _pad_size(n_real)
-
-    init = _initial_ranks(codes)
-    top = int(init.max()) + 1
-    padded = np.empty(n, dtype=np.int64)
-    padded[:n_real] = init
-    padded[n_real:] = top + np.arange(n - n_real)
-
-    itype = jnp.int32 if n < 2**31 else jnp.int64
-    # convert on host: uploading int64 then casting would hold an extra
-    # 8-byte/char temp on device through the first sort round
-    host_ranks = padded.astype(np.int32) if itype == jnp.int32 else padded
-    order = _prefix_doubling(rounds, n, jnp.asarray(host_ranks))
-    out = np.asarray(order, dtype=np.int64)
+    order = _sa_build_v2(rounds, n, jnp.asarray(_pad_codes(codes, n)[None, :]))
+    out = np.asarray(order[0], dtype=np.int64)
     return out[:n_real] if n > n_real else out
 
 
 from functools import partial as _partial
 
+GRAM = 8  # initial seeding width: one int64-key sort ranks 8-symbol prefixes
+_PAD_SYM = 7  # padding symbol, sorts after every real rank
+
+
+def _sa_rounds(max_span: int) -> int:
+    """Doubling rounds after the GRAM-wide seed: ranks are distinct once
+    GRAM * 2^rounds >= the longest distance to the next sentinel."""
+    r = 0
+    while (GRAM << r) < max_span:
+        r += 1
+    return r
+
 
 @_partial(__import__("jax").jit, static_argnums=(0, 1))
-def _prefix_doubling(rounds, n, rank):
-    """All doubling rounds in one device program (a host sync per round costs
-    a full tunnel round trip).  Ranks are provably distinct after `rounds`
-    doublings; converged rounds are no-ops on already-distinct ranks."""
+def _sa_build_v2(rounds, n, codes):
+    """Batched suffix sort: codes uint8 [B, n] (ranks 0..4, pad=_PAD_SYM) ->
+    suffix order int32 [B, n].  All int32 (x64 is off; TPU int64 is emulated).
+
+    Round structure (all rows sorted together in each lax.sort call; payloads
+    ride the sort network instead of permutation gathers, which are
+    issue-rate-bound on TPU):
+      seed: one stable sort on the 8-symbol gram (3 bits/symbol, int32).
+        The gram zero-fills fields after the first sentinel, so suffix
+        comparisons the reference resolves AT a sentinel
+        (src/suffix_array_builder.cpp:579-592: '$' ties break by text
+        position) compare equal here; stability puts them in position order
+        (= sentinel-id order), and the has_term flag forces distinct ranks
+        for those (equal-gram runs are homogeneous: a terminator gram
+        always carries a 0 field, a pure-base gram never does).
+      doubling: lexicographic (rank, next-rank) via two stable co-sorting
+        passes (LSD) + one unsort pass — 3 gather-free sorts per round.
+    """
     import jax
     import jax.numpy as jnp
 
-    itype = rank.dtype
-    idx = jnp.arange(n, dtype=itype)
+    B = codes.shape[0]
+    sym = codes.astype(jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
+    pos = jnp.arange(n, dtype=jnp.int32)[None, :]
 
-    def body(r, carry):
-        rank, order = carry
-        h = jnp.asarray(1, itype) << r
-        key2 = jnp.where(idx + h < n, jnp.roll(rank, -h), -1)
-        # lexicographic (rank, key2) sort as two stable single-key argsorts
-        # (LSD radix): XLA's single-key sort is fast everywhere, variadic
-        # multi-key sort is not.
-        ord2 = jnp.argsort(key2, stable=True)
-        order = ord2[jnp.argsort(rank[ord2], stable=True)]
-        r1 = rank[order]
-        r2 = key2[order]
+    gram = jnp.zeros((B, n), dtype=jnp.int32)
+    alive = jnp.ones((B, n), dtype=bool)
+    has_term = jnp.zeros((B, n), dtype=bool)
+    for k in range(GRAM):
+        w = jnp.where(pos + k < n, jnp.roll(sym, -k, axis=-1), _PAD_SYM)
+        v = jnp.where(alive, w, 0)
+        gram = (gram << 3) | v
+        has_term = has_term | (w == 0)
+        alive = alive & (w != 0)
+    needs_distinct = (has_term | (sym == _PAD_SYM)).astype(jnp.int32)
+
+    def unsort(order, payload):
+        # back to position order: co-sort by the (distinct) position ids —
+        # no random scatter
+        _, out = jax.lax.sort((order, payload), dimension=-1, num_keys=1)
+        return out
+
+    def rank_sorted(b1, b2):
         boundary = jnp.concatenate(
-            [
-                jnp.zeros(1, dtype=itype),
-                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(itype),
-            ]
+            [jnp.zeros((B, 1), dtype=jnp.int32), (b1 | b2).astype(jnp.int32)],
+            axis=-1,
         )
-        new_rank = jnp.cumsum(boundary)
-        rank = jnp.zeros(n, dtype=itype).at[order].set(new_rank)
-        return rank, order
+        return jnp.cumsum(boundary, axis=-1, dtype=jnp.int32)
 
-    _, order = jax.lax.fori_loop(
-        0, rounds, body, (rank, jnp.arange(n, dtype=itype))
+    g_s, idx_s, nd_s = jax.lax.sort(
+        (gram, idx, needs_distinct), dimension=-1, num_keys=1, is_stable=True
     )
+    new_rank = rank_sorted(g_s[:, 1:] != g_s[:, :-1], nd_s[:, 1:] == 1)
+    rank = unsort(idx_s, new_rank)
+
+    def body(r, rank):
+        h = jnp.asarray(GRAM, jnp.int32) << r
+        key2 = jnp.where(pos + h < n, jnp.roll(rank, -h, axis=-1), -1)
+        # LSD: stable sort by key2, then stable sort by rank
+        k2_s, r_s, i_s = jax.lax.sort(
+            (key2, rank, idx), dimension=-1, num_keys=1, is_stable=True
+        )
+        r_s, k2_s, i_s = jax.lax.sort(
+            (r_s, k2_s, i_s), dimension=-1, num_keys=1, is_stable=True
+        )
+        new_rank = rank_sorted(
+            r_s[:, 1:] != r_s[:, :-1], k2_s[:, 1:] != k2_s[:, :-1]
+        )
+        return unsort(i_s, new_rank)
+
+    rank = jax.lax.fori_loop(0, rounds, body, rank)
+    _, order = jax.lax.sort((rank, idx), dimension=-1, num_keys=1)
     return order
+
+
+def _pad_codes(codes: np.ndarray, n: int) -> np.ndarray:
+    out = np.full(n, _PAD_SYM, dtype=np.uint8)
+    out[: codes.size] = codes
+    return out
+
+
+def _max_span(codes: np.ndarray) -> int:
+    sent_pos = np.flatnonzero(codes == 0)
+    prev = np.concatenate(([-1], sent_pos[:-1]))
+    return int((sent_pos - prev).max())
 
 
 def bwt_from_sa(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -192,56 +232,76 @@ def sai_perm_from_sa(sa: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return read_of_start[sa[mask]]
 
 
+@_partial(__import__("jax").jit, static_argnums=(0, 1, 2, 3))
+def _sa_bwt_perm_v2(rounds, n, n_real, num_strings, codes, starts):
+    """Suffix sort + BWT/perm derivation in one device program: only BWT
+    bytes (1/char) and the read permutations cross the host link."""
+    import jax.numpy as jnp
+
+    order = _sa_build_v2(rounds, n, codes)  # [B, n] int32
+    sa = order[:, :n_real]
+    codes_real = codes[:, :n_real]
+    prev = jnp.take_along_axis(codes_real, jnp.clip(sa - 1, 0, n_real - 1), axis=-1)
+    bwt = jnp.where(sa == 0, jnp.uint8(0), prev)
+    # read-start membership and read ids via searchsorted against the small
+    # starts table (avoids a 4-byte/char read-id map on device)
+    B = codes.shape[0]
+    idx = jnp.searchsorted(starts, sa.reshape(-1)).reshape(B, n_real)
+    s = starts.shape[0]
+    hit = (idx < s) & (starts[jnp.clip(idx, 0, s - 1)] == sa)
+    # each row has exactly num_strings whole-read suffixes; row-major nonzero
+    # keeps rows contiguous and ascending
+    (pos_idx,) = jnp.nonzero(hit.reshape(-1), size=B * num_strings, fill_value=0)
+    perm = idx.reshape(-1)[pos_idx].reshape(B, num_strings)
+    return bwt, perm
+
+
+def _device_index_build(texts: List[np.ndarray], starts: np.ndarray, num_strings: int):
+    """Run the batched device build over B rank texts of equal length."""
+    import jax.numpy as jnp
+
+    n_real = int(texts[0].size)
+    rounds = max(_sa_rounds(_max_span(c)) for c in texts)
+    n = _pad_size(n_real)
+    codes = np.stack([_pad_codes(c, n) for c in texts])
+    bwt, perm = _sa_bwt_perm_v2(
+        rounds, n, n_real, num_strings,
+        jnp.asarray(codes), jnp.asarray(starts.astype(np.int32)),
+    )
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    perm = np.asarray(perm, dtype=np.int64)
+    return [(bwt[b], perm[b]) for b in range(len(texts))]
+
+
 def build_index_arrays(
     seqs: Sequence[str], use_device: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Build (bwt_codes, sai_perm, num_strings) for a read set."""
     codes, starts, _lengths = concat_reads(seqs)
     if use_device:
-        return _build_index_arrays_device(codes, starts, len(seqs))
+        (one,) = _device_index_build([codes], starts, len(seqs))
+        return one[0], one[1], len(seqs)
     sa = suffix_array_numpy(codes)
     return bwt_from_sa(codes, sa), sai_perm_from_sa(sa, starts), len(seqs)
 
 
-def _build_index_arrays_device(codes, starts, num_strings):
-    """Device SA build with BWT/perm derivation on device too: only the BWT
-    bytes (1/char) and the read permutation cross the host link, not the
-    4-8 byte/char suffix array."""
-    import jax.numpy as jnp
+def build_index_arrays_pair(
+    seqs: Sequence[str], use_device: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Build forward AND reversed-read indexes in one batched device program
+    (the `siga index` product: .sai/.bwt + .rsai/.rbwt, src/indexer.cpp:51-65).
 
-    n_real = int(codes.size)
-    sent_pos = np.flatnonzero(codes == 0)
-    prev = np.concatenate(([-1], sent_pos[:-1]))
-    max_span = int((sent_pos - prev).max())
-    rounds = max(1, int(np.ceil(np.log2(max(2, max_span)))) + 1)
-
-    n = _pad_size(n_real)
-    init = _initial_ranks(codes)
-    top = int(init.max()) + 1
-    padded = np.empty(n, dtype=np.int64)
-    padded[:n_real] = init
-    padded[n_real:] = top + np.arange(n - n_real)
-
-    itype = jnp.int32 if n < 2**31 else jnp.int64
-    host_ranks = padded.astype(np.int32) if itype == jnp.int32 else padded
-    order = _prefix_doubling(rounds, n, jnp.asarray(host_ranks))
-
-    sa = order[:n_real]
-    codes_d = jnp.asarray(codes)  # uint8, 1 byte/char
-    bwt = jnp.where(
-        sa == 0, jnp.uint8(0), codes_d[jnp.clip(sa - 1, 0, n_real - 1)]
-    )
-    # read-start membership and read ids via searchsorted against the small
-    # starts table (avoids a 4-byte/char read-id map on device)
-    starts_d = jnp.asarray(starts.astype(np.int32))
-    idx = jnp.searchsorted(starts_d, sa.astype(jnp.int32))
-    hit = (idx < starts_d.shape[0]) & (
-        starts_d[jnp.clip(idx, 0, starts_d.shape[0] - 1)] == sa.astype(jnp.int32)
-    )
-    (pos_idx,) = jnp.nonzero(hit, size=num_strings, fill_value=0)
-    perm = idx[pos_idx]
-    return (
-        np.asarray(bwt, dtype=np.uint8),
-        np.asarray(perm, dtype=np.int64),
-        num_strings,
-    )
+    Returns (fwd_bwt, fwd_perm, rev_bwt, rev_perm, num_strings)."""
+    codes, starts, _lengths = concat_reads(seqs)
+    rcodes, rstarts, _ = concat_reads([s[::-1] for s in seqs])
+    assert np.array_equal(starts, rstarts)
+    if not use_device:
+        sa = suffix_array_numpy(codes)
+        rsa = suffix_array_numpy(rcodes)
+        return (
+            bwt_from_sa(codes, sa), sai_perm_from_sa(sa, starts),
+            bwt_from_sa(rcodes, rsa), sai_perm_from_sa(rsa, starts),
+            len(seqs),
+        )
+    (f, r) = _device_index_build([codes, rcodes], starts, len(seqs))
+    return f[0], f[1], r[0], r[1], len(seqs)

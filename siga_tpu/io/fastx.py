@@ -21,8 +21,13 @@ from ..core import dna
 
 
 def xopen(path: str, mode: str = "rt") -> IO:
-    """Open a file with transparent gzip/bzip2 (by extension)."""
+    """Open a file with transparent gzip/bzip2 (by extension).  Writes use
+    zlib level 1: deflate speed dominates the pipeline-stage wall for big
+    ASQG/hits outputs, and the (content-level) format contract is unaffected
+    by the container's compression level."""
     if path.endswith(GZIP_EXT):
+        if "w" in mode or "a" in mode:
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     if path.endswith(BZIP_EXT):
         return bz2.open(path, mode)

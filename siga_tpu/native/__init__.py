@@ -87,17 +87,14 @@ def pack_index_planes(index):
     words = np.bitwise_or.reduce(shifted.reshape(nblocks, 2, 32), axis=2)
     dbit = (sym == 0).astype(np.uint64) << offs[None, :]
     dollars = np.bitwise_or.reduce(dbit, axis=1)
-    # cumulative counts at block starts
+    # cumulative counts at block starts: one bincount over (block, symbol)
+    # keys + a cumsum over blocks (an n x 5 one-hot cumsum is ~OCC_SAMPLE x
+    # more memory traffic)
     ckpt = np.zeros((nblocks, 5), dtype=np.int64)
     if n:
-        counts = np.zeros((n, 5), dtype=np.int32)
-        counts[np.arange(n), codes] = 1
-        csum = np.cumsum(counts, axis=0, dtype=np.int64)
-        block_ends = np.arange(1, nblocks) * OCC_SAMPLE
-        inb = block_ends <= n
-        ckpt[1:][inb] = csum[block_ends[inb] - 1]
-        if not inb.all():
-            ckpt[1:][~inb] = csum[-1]
+        key = (np.arange(n, dtype=np.int64) // OCC_SAMPLE) * 5 + codes
+        per_block = np.bincount(key, minlength=nblocks * 5).reshape(nblocks, 5)
+        ckpt[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)
     pred = np.ascontiguousarray(index.pred.astype(np.int64))
     return (
         np.ascontiguousarray(words.reshape(-1)),
