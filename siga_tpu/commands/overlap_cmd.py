@@ -63,7 +63,7 @@ def build_overlaps(
     hit_paths = [
         f"{prefix}-thread{i}{HITS_EXT}{GZIP_EXT}" for i in range(max(1, shards))
     ]
-    hit_files = [fastx.xopen(p, "wt") for p in hit_paths]
+    hit_files = [fastx.xopen(p, "wb") for p in hit_paths]
 
     if engine in ("auto", "tpu"):
         from ..ops.search import batch_overlap_hits
@@ -72,26 +72,52 @@ def build_overlaps(
     else:
         hits_iter = _host_hits(builder, records, min_overlap)
 
+    from .. import native as native_mod
+    from ..ops.search import _blocks_to_array
+
+    native_fmt = native_mod.available()
+
     # keep the (idx, blocks) arrays in memory while they fit so the ED pass
     # below does not re-read + re-parse the hits files it just wrote (the
     # files remain the stage checkpoint either way)
     MEM_BLOCK_BUDGET = 4_000_000
     in_mem: list = []
     mem_blocks = 0
+    pend: list = []  # buffered (idx, substring, arr) awaiting native format
+
+    def flush_hits():
+        if not pend:
+            return
+        blob, offs = native_mod.format_hits(
+            [p[0] for p in pend], [p[1] for p in pend], [p[2] for p in pend]
+        )
+        if len(hit_files) == 1:
+            hit_files[0].write(blob)
+        else:
+            for i, (idx, _s, _a) in enumerate(pend):
+                hit_files[idx % len(hit_files)].write(blob[offs[i] : offs[i + 1]])
+        pend.clear()
+
     try:
         for idx, (rec, hit) in enumerate(zip(records, hits_iter)):
-            hit_files[idx % len(hit_files)].write(hit.serialize() + "\n")
+            arr = getattr(hit, "_array", None)
+            if arr is None and (native_fmt or in_mem is not None):
+                arr = _blocks_to_array(hit.blocks)
+            if native_fmt:
+                pend.append((hit.idx, hit.substring, arr))
+                if len(pend) >= 4096:
+                    flush_hits()
+            else:
+                hit_files[idx % len(hit_files)].write(
+                    (hit.serialize() + "\n").encode()
+                )
             write_vertex_record(out, rec, hit.substring)
             if in_mem is not None:
-                arr = getattr(hit, "_array", None)
-                if arr is None:
-                    from ..ops.search import _blocks_to_array
-
-                    arr = _blocks_to_array(hit.blocks)
                 in_mem.append((hit.idx, arr))
                 mem_blocks += len(arr)
                 if mem_blocks > MEM_BLOCK_BUDGET:
                     in_mem = None  # too big: fall back to re-reading hits
+        flush_hits()
     finally:
         for f in hit_files:
             f.close()

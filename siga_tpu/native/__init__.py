@@ -49,6 +49,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib = _build()
                 lib.siga_extract_irreducible.restype = ctypes.c_int64
                 lib.siga_process_chunk.restype = ctypes.c_int64
+                lib.siga_format_hits.restype = ctypes.c_int64
                 _lib = lib
             except Exception:
                 _lib = None
@@ -165,6 +166,42 @@ class NativeExtractor:
             out.append(out_blocks[off : off + k * 10].reshape(k, 10).copy())
             off += k * 10
         return out, out_failed
+
+
+def format_hits(idxs, substring, arrays) -> Tuple[bytes, np.ndarray]:
+    """Serialize hit records to the .hits text format in C++.
+
+    idxs: int64 [n] read indices; substring: bool/uint8 [n]; arrays: list of
+    (k_i, 10) int64 block arrays.  Returns (blob, line_offsets[n+1]) where
+    blob[line_offsets[i]:line_offsets[i+1]] is read i's '\\n'-terminated
+    line — format identical to overlap/builder.py Hit.serialize() + '\\n'."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(arrays)
+    counts = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    blocks = (
+        np.ascontiguousarray(np.concatenate(arrays).astype(np.int64).reshape(-1))
+        if total
+        else np.zeros(0, dtype=np.int64)
+    )
+    idxs = np.ascontiguousarray(np.asarray(idxs, dtype=np.int64))
+    subs = np.ascontiguousarray(np.asarray(substring, dtype=np.uint8))
+    cap = n * (3 * 21 + 2) + total * 10 * 21
+    out = ctypes.create_string_buffer(cap)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    written = lib.siga_format_hits(
+        ctypes.c_int64(n),
+        _i64(idxs),
+        subs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64(counts),
+        _i64(blocks),
+        ctypes.c_int64(cap),
+        out,
+        _i64(offsets),
+    )
+    assert written >= 0
+    return out.raw[:written], offsets
 
 
 class NativeChunkProcessor:

@@ -20,37 +20,60 @@ from ..index.fm import SAMPLE, FMIndex
 class DeviceFM:
     """Immutable device mirror of a host FMIndex.
 
-    BWT symbols live as a (nblocks, SAMPLE) row matrix so an occ query is a
+    BWT symbols live as a (nblocks, sample) row matrix so an occ query is a
     contiguous row gather (fast on TPU) instead of an element gather.
+    `sample` is the device occ-block width — independent of the host
+    FMIndex's marker spacing (checkpoints are rebuilt from the codes when it
+    differs); narrower rows trade more checkpoint memory for smaller
+    per-query gathers.
     """
 
-    def __init__(self, host: FMIndex):
+    def __init__(self, host: FMIndex, sample: int | None = None):
+        import os
+
+        if sample is None:
+            sample = int(os.environ.get("SIGA_DEV_SAMPLE", SAMPLE))
+        assert sample % 32 == 0
+        self.sample = sample
         self.length = host.length
         self.num_strings = host.num_strings
         n = host.length
-        nblocks = n // SAMPLE + 1
+        nblocks = n // sample + 1
         self.nblocks = nblocks
-        padded = np.zeros(nblocks * SAMPLE, dtype=np.uint8)
+        padded = np.zeros(nblocks * sample, dtype=np.uint8)
         padded[:n] = host.codes
         # 2-bit-packed symbol words + '$' bitmask for popcount occ:
         # word j of a block covers symbols [16j, 16j+16), little-end first;
         # '$' packs as 0 (alias of A) and is corrected via the mask plane.
-        sym = padded.reshape(nblocks, SAMPLE).astype(np.uint32)
+        sym = padded.reshape(nblocks, sample).astype(np.uint32)
         two_bit = np.where(sym == 0, 0, sym - 1)  # $->0(A), A..T -> 0..3
-        shifts = (2 * (np.arange(SAMPLE) % 16)).astype(np.uint32)
-        words = np.zeros((nblocks, SAMPLE // 16), dtype=np.uint32)
+        shifts = (2 * (np.arange(sample) % 16)).astype(np.uint32)
+        words = np.zeros((nblocks, sample // 16), dtype=np.uint32)
         np.add.at(
             words,
-            (np.arange(nblocks)[:, None], np.arange(SAMPLE)[None, :] // 16),
+            (np.arange(nblocks)[:, None], np.arange(sample)[None, :] // 16),
             two_bit << shifts[None, :],
         )
-        dollar = np.zeros((nblocks, SAMPLE // 32), dtype=np.uint32)
+        dollar = np.zeros((nblocks, sample // 32), dtype=np.uint32)
         dbit = (sym == 0).astype(np.uint32)
         np.add.at(
             dollar,
-            (np.arange(nblocks)[:, None], np.arange(SAMPLE)[None, :] // 32),
-            dbit << (np.arange(SAMPLE) % 32).astype(np.uint32),
+            (np.arange(nblocks)[:, None], np.arange(sample)[None, :] // 32),
+            dbit << (np.arange(sample) % 32).astype(np.uint32),
         )
+        if sample == SAMPLE:
+            ckpt = np.asarray(host.checkpoints, dtype=np.int32)
+        else:
+            # exclusive cumulative symbol counts at each block start
+            ckpt = np.zeros((nblocks, 5), dtype=np.int32)
+            if n:
+                key = (np.arange(n, dtype=np.int64) // sample) * 5 + host.codes
+                per_block = np.bincount(key, minlength=nblocks * 5).reshape(
+                    nblocks, 5
+                )
+                ckpt[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)[
+                    : nblocks - 1
+                ].astype(np.int32)
         # Only the fused occ plane (and the tiny pred) go to HBM eagerly:
         # one row gather serves symbol words + '$' mask + checkpoint counts.
         # The separate codes/checkpoints/packed/dollar device buffers are
@@ -59,7 +82,7 @@ class DeviceFM:
         self._host_padded = padded
         self._host_words = words.view(np.int32)
         self._host_dollar = dollar.view(np.int32)
-        self._host_checkpoints = np.asarray(host.checkpoints, dtype=np.int32)
+        self._host_checkpoints = ckpt
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
         self.occ_plane = jnp.asarray(
             np.concatenate(
@@ -75,7 +98,9 @@ class DeviceFM:
     @property
     def codes(self):
         if self._codes is None:
-            self._codes = jnp.asarray(self._host_padded.reshape(self.nblocks, SAMPLE))
+            self._codes = jnp.asarray(
+                self._host_padded.reshape(self.nblocks, self.sample)
+            )
         return self._codes
 
     @property
@@ -100,17 +125,18 @@ class DeviceFM:
 def occ_all(codes, checkpoints, length, i):
     """Batched inclusive occ counts: i int32 [...], -> [..., 5] int32.
 
-    codes is the (nblocks, SAMPLE) row matrix; one row gather + masked
-    compare-sum per query.  The '$' count is derived from the tail length so
-    only 4 compare passes run.  occ(c, -1) == 0 by construction (pos=0 ->
-    empty tail, checkpoint 0).
+    codes is the (nblocks, sample) row matrix (sample inferred from its
+    width); one row gather + masked compare-sum per query.  The '$' count is
+    derived from the tail length so only 4 compare passes run.
+    occ(c, -1) == 0 by construction (pos=0 -> empty tail, checkpoint 0).
     """
+    sample = codes.shape[-1]
     pos = i + 1
-    block = pos // SAMPLE
+    block = pos // sample
     base = checkpoints[block]
-    rows = codes[block]  # [..., SAMPLE] contiguous row gather
-    offs = jnp.arange(SAMPLE, dtype=jnp.int32)
-    tail_len = pos - block * SAMPLE
+    rows = codes[block]  # [..., sample] contiguous row gather
+    offs = jnp.arange(sample, dtype=jnp.int32)
+    tail_len = pos - block * sample
     mask = offs < tail_len[..., None]
     counts = [
         jnp.sum((rows == c) & mask, axis=-1, dtype=jnp.int32) for c in range(1, 5)
@@ -125,28 +151,40 @@ _NDWORDS = SAMPLE // 32
 PLANE_COLS = _NWORDS + _NDWORDS + 5  # symbol words | '$' words | checkpoints
 
 
+def _plane_sample(ncols: int) -> int:
+    """Infer the occ block width from the fused plane's column count:
+    ncols = s/16 + s/32 + 5  =>  s = 32*(ncols-5)/3."""
+    s = 32 * (ncols - 5) // 3
+    assert s % 32 == 0 and s // 16 + s // 32 + 5 == ncols, ncols
+    return s
+
+
 def occ_all_fused(plane, length, i, tab=None):
-    """popcount occ over the fused (nblocks, 17) plane: ONE row gather per
-    query (symbol words + '$'-mask words + checkpoint counts), then VPU
-    popcount — the minimal-gather form of occ_all_packed."""
+    """popcount occ over the fused (nblocks, s/16+s/32+5) plane: ONE row
+    gather per query (symbol words + '$'-mask words + checkpoint counts),
+    then VPU popcount — the minimal-gather form of occ_all_packed.  The
+    block width s is inferred from the plane's static column count."""
+    sample = _plane_sample(plane.shape[-1])
+    nwords = sample // 16
+    ndwords = sample // 32
     popcount = jax.lax.population_count
     pos = i + 1
-    block0 = pos // SAMPLE
+    block0 = pos // sample
     block = block0 if tab is None else block0 + tab
-    rows = plane[block]  # [Q, 17] single gather
-    w = rows[..., :_NWORDS].astype(jnp.uint32)
-    d = rows[..., _NWORDS:_NWORDS + _NDWORDS].astype(jnp.uint32)
-    base = rows[..., _NWORDS + _NDWORDS:]
-    tail_len = (pos - block0 * SAMPLE).astype(jnp.uint32)
+    rows = plane[block]  # [Q, ncols] single gather
+    w = rows[..., :nwords].astype(jnp.uint32)
+    d = rows[..., nwords:nwords + ndwords].astype(jnp.uint32)
+    base = rows[..., nwords + ndwords:]
+    tail_len = (pos - block0 * sample).astype(jnp.uint32)
 
-    widx = jnp.arange(_NWORDS, dtype=jnp.uint32) * 16
+    widx = jnp.arange(nwords, dtype=jnp.uint32) * 16
     valid = jnp.clip(
         tail_len[..., None].astype(jnp.int32) - widx[None, :].astype(jnp.int32), 0, 16
     ).astype(jnp.uint32)
     full = valid == 16
     wmask = jnp.where(full, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1)
 
-    didx = jnp.arange(_NDWORDS, dtype=jnp.uint32) * 32
+    didx = jnp.arange(ndwords, dtype=jnp.uint32) * 32
     dvalid = jnp.clip(
         tail_len[..., None].astype(jnp.int32) - didx[None, :].astype(jnp.int32), 0, 32
     ).astype(jnp.uint32)
@@ -429,16 +467,22 @@ def _scan_packed_v2(
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _pack_v2(k, fk, idx, data, fidx, frows, subwords):
-    """Slice the compacted scan outputs to the observed counts and fuse them
-    into ONE int32 buffer — a single device->host transfer (each transfer
-    through the dev tunnel pays a round trip)."""
+def _pack_v3(kb, kc, counts, idx, data, fidx, frows, subwords):
+    """Fuse the compacted scan outputs into ONE int32 buffer with the counts
+    embedded in a 4-int header, sliced to the (kb, kc) transfer budgets.
+
+    The caller enqueues this right after the scan and starts the host copy
+    asynchronously — the whole chunk then costs exactly one host sync (the
+    dev-tunnel round trip is ~27 ms, and the old count-sync/pack/fetch
+    sequence paid three)."""
+    header = jnp.concatenate([counts, jnp.zeros((2,), jnp.int32)])
     return jnp.concatenate(
         [
-            idx[:k],
-            data[:k].reshape(-1),
-            fidx[:fk],
-            frows[:fk].reshape(-1),
+            header,
+            idx[:kb],
+            data[:kb].reshape(-1),
+            fidx[:kc],
+            frows[:kc].reshape(-1),
             subwords,
         ]
     )
@@ -519,17 +563,9 @@ def _scan_stage_a(max_t, min_overlap, plane, pred, length, chars, lens, lane_tab
     return emitted, valid, final, lext
 
 
-def _slice_size(nblocks: int, cap: int) -> int:
-    """Device-side slice size before transfer: pow2 buckets (floored at 256
-    so tiny counts do not each compile a fresh slice shape) up to 1024, then
-    4096 granules (bounded distinct shapes, at most ~46% over-transfer for
-    small counts and ~9% for large)."""
-    if nblocks <= 1024:
-        p = 256
-        while p < max(nblocks, 1):
-            p *= 2
-        return min(p, cap)
-    return min(-(-nblocks // 4096) * 4096, cap)
+def _granule(n: int, g: int) -> int:
+    """Round n up to a multiple of g (bounded distinct transfer shapes)."""
+    return max(g, -(-n // g) * g)
 
 
 def _next_pow2(n: int) -> int:
@@ -592,6 +628,7 @@ class DualScanner:
                  fwd_groups=(GROUP_ID, GROUP_RC),
                  rev_groups=(GROUP_REV, GROUP_COMP)):
         assert dfwd.length == drev.length
+        assert dfwd.sample == drev.sample and dfwd.nblocks == drev.nblocks
         self.length = dfwd.length
         self.nblocks = dfwd.nblocks
         self.fwd_groups = tuple(fwd_groups)
@@ -613,7 +650,10 @@ class DualScanner:
         # while an oversized cap only costs device-side scratch (transfers
         # slice to the observed count)
         self._cap = 65536
-        self._fcap = 4096
+        # sticky transfer budgets (slices of the compacted outputs actually
+        # copied to host); overflow re-packs from the live scan outputs
+        self._kb = 0
+        self._kc = 0
 
     def _put(self, la_w, lens):
         if self.mesh is None:
@@ -631,18 +671,43 @@ class DualScanner:
             la_d, lens_d,
         )
 
+    def _pack_ship(self, out, kb, kc):
+        """Slice the scan outputs to the transfer budgets, fuse into one
+        buffer and start the host copy immediately (overlaps the next
+        chunk's scan on the device stream)."""
+        counts, idx, data, fidx, frows, subwords = out
+        packed = _pack_v3(kb, kc, counts, idx, data, fidx, frows, subwords)
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copies
+            pass
+        return packed
+
     def dispatch(self, seqs, n: int, maxlen: int, min_overlap: int):
         """All orientation lanes of a chunk of (at most n) reads in one
         launch.  maxlen must be a multiple of 16 and > the longest read."""
         la_w, lens = pack_reads_2bit(seqs, n, maxlen)
         la_d, lens_d = self._put(la_w, lens)
         max_t = maxlen - 1
-        cap, fcap = self._cap, self._fcap
+        num_lanes = n * (len(self.fwd_groups) + len(self.rev_groups))
+        # fcap = lane count: every lane yields at most one candidate, so the
+        # candidate compaction can never overflow
+        cap, fcap = self._cap, num_lanes
+        if self._kb == 0:
+            # first chunk: expect ~6 emitted blocks/read at short-read
+            # coverage; sticky growth handles the rest
+            self._kb = _granule(6 * n, 8192)
+        if self._kc == 0:
+            # ~2 containment candidates per read (the ID/REV self matches)
+            self._kc = _granule(2 * n + n // 8, 4096)
+        kb = min(self._kb, cap)
+        kc = min(self._kc, fcap)
         out = self._run(cap, fcap, max_t, min_overlap, la_d, lens_d)
-        return (out, cap, fcap, n, max_t, min_overlap, la_d, lens_d)
+        packed = self._pack_ship(out, kb, kc)
+        return (out, packed, kb, kc, cap, fcap, n, max_t, min_overlap, la_d, lens_d)
 
     def collect(self, handle):
-        """Fetch one dispatched chunk.
+        """Fetch one dispatched chunk (normally a single host sync).
 
         Returns (f_view, r_view), each (lane, t, data4, cand_lanes,
         cand_rows6, substr_flags):
@@ -656,31 +721,33 @@ class DualScanner:
           substr_flags: uint8 [lanes] — lext|rext DNA extension of the
             full-length interval (the substring-read test, computed fully
             on device)."""
-        (out, cap, fcap, n, max_t, min_overlap, la_d, lens_d) = handle
-        counts_d, idx, data, fidx, frows, subwords = out
-        counts = np.asarray(counts_d)
-        nblocks, fcount = int(counts[0]), int(counts[1])
-        while nblocks > cap or fcount > fcap:
-            if nblocks > cap:
-                cap = _next_pow2(nblocks)
-                self._cap = cap
-            if fcount > fcap:
-                fcap = _next_pow2(fcount)
-                self._fcap = fcap
-            counts_d, idx, data, fidx, frows, subwords = self._run(
-                cap, fcap, max_t, min_overlap, la_d, lens_d
-            )
-            counts = np.asarray(counts_d)
-            nblocks, fcount = int(counts[0]), int(counts[1])
+        (out, packed_d, kb, kc, cap, fcap, n, max_t, min_overlap,
+         la_d, lens_d) = handle
+        packed = np.asarray(packed_d)
+        nblocks, fcount = int(packed[0]), int(packed[1])
+        while nblocks > cap:
+            # scan-side compaction overflowed: re-run with a bigger cap
+            cap = _next_pow2(nblocks)
+            self._cap = cap
+            out = self._run(cap, fcap, max_t, min_overlap, la_d, lens_d)
+            kb = min(max(kb, _granule(nblocks, 8192)), cap)
+            self._kb = max(self._kb, kb)
+            packed = np.asarray(self._pack_ship(out, kb, kc))
+            nblocks, fcount = int(packed[0]), int(packed[1])
+        if nblocks > kb or fcount > kc:
+            # transfer budget too small: re-slice the live outputs
+            kb = min(max(kb, _granule(nblocks, 8192)), cap)
+            kc = min(max(kc, _granule(fcount, 4096)), fcap)
+            self._kb = max(self._kb, kb)
+            self._kc = max(self._kc, kc)
+            packed = np.asarray(self._pack_ship(out, kb, kc))
 
         nf, nr = len(self.fwd_groups), len(self.rev_groups)
         num_lanes = n * (nf + nr)
         half = n * nf
-        k = _slice_size(nblocks, cap)
-        fk = _slice_size(fcount, fcap)
-        packed = np.asarray(_pack_v2(k, fk, idx, data, fidx, frows, subwords))
-        pos = k
-        idx_h = packed[:k][:nblocks].astype(np.int64)
+        k, fk = kb, kc
+        pos = 4 + k
+        idx_h = packed[4:pos][:nblocks].astype(np.int64)
         data3 = packed[pos : pos + 3 * k].reshape(k, 3)[:nblocks]
         pos += 3 * k
         cand_lanes = packed[pos : pos + fk][:fcount].astype(np.int64)

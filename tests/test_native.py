@@ -104,3 +104,30 @@ def test_native_extractor_direct():
             for v in out.tolist()
         ]
         assert got == want
+
+
+def test_format_hits_matches_python_serialize():
+    """C++ hits text serialization == Hit.serialize() + newline."""
+    import numpy as np
+
+    from siga_tpu import native
+    from siga_tpu.overlap.builder import Hit
+    from siga_tpu.ops.search import _array_to_blocks
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(3)
+    idxs, subs, arrays, want = [], [], [], []
+    for i in range(50):
+        k = int(rng.integers(0, 6))
+        arr = rng.integers(0, 1_000_000, size=(k, 10)).astype(np.int64)
+        arr[:, 9] = rng.integers(0, 8, size=k)
+        hit = Hit(idx=1000 + i, substring=bool(rng.integers(0, 2)))
+        hit.blocks = _array_to_blocks(arr)
+        idxs.append(hit.idx)
+        subs.append(hit.substring)
+        arrays.append(arr)
+        want.append(hit.serialize() + "\n")
+    blob, offs = native.format_hits(idxs, subs, arrays)
+    got = [blob[offs[i] : offs[i + 1]].decode() for i in range(len(idxs))]
+    assert got == want
