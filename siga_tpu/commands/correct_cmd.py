@@ -29,23 +29,45 @@ def run(opts: dict, arguments: List[str]) -> int:
 
     index = FMIndex.load(prefix + BWT_EXT)
     reads = fastx.read_sequences(input_path)
+    kmer_size = int(opts.get("kmer-size", 31))
 
-    counter = None
-    if str(opts.get("engine", "auto")) in ("auto", "tpu"):
-        from ..ops.fm_device import DeviceFM
-        from ..ops.kmer_count import KmerCounter
+    # The vectorized batch corrector's count oracle is the read set itself,
+    # valid exactly when the index was built from these reads (the standard
+    # `siga correct` invocation, /root/reference/src/correct.cpp:44-53).
+    consistent = (
+        index.num_strings == len(reads)
+        and index.length == sum(len(r.seq) + 1 for r in reads)
+        and kmer_size <= 64
+    )
+    engine = str(opts.get("engine", "auto"))
+    if consistent and engine in ("auto", "tpu", "batch"):
+        from ..correct.batch import correct_reads_batch
 
-        counter = KmerCounter(DeviceFM(index))
+        corrected = correct_reads_batch(
+            reads,
+            kmer_size=kmer_size,
+            rounds=int(opts.get("kmer-rounds", 10)),
+            count_offset=int(opts.get("kmer-count-offset", 1)),
+            threshold=int(opts.get("kmer-threshold", 3)),
+        )
+    else:
+        counter = None
+        if engine in ("auto", "tpu"):
+            from ..ops.fm_device import DeviceFM
+            from ..ops.kmer_count import KmerCounter
 
-    with fastx.xopen(output, "wt") as out:
-        for rec in correct_reads(
+            counter = KmerCounter(DeviceFM(index))
+        corrected = correct_reads(
             index,
             reads,
-            kmer_size=int(opts.get("kmer-size", 31)),
+            kmer_size=kmer_size,
             rounds=int(opts.get("kmer-rounds", 10)),
             count_offset=int(opts.get("kmer-count-offset", 1)),
             threshold=int(opts.get("kmer-threshold", 3)),
             counter=counter,
-        ):
+        )
+
+    with fastx.xopen(output, "wt") as out:
+        for rec in corrected:
             out.write(rec.format())
     return 0

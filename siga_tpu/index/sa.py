@@ -57,8 +57,8 @@ def _pad_size(n_real: int) -> int:
         n *= 2
     if n_real <= n:
         return n
-    step = 1 << 20
-    while step * 16 < n_real:
+    step = 1 << 17
+    while step * 8 < n_real:
         step *= 2
     return ((n_real + step - 1) // step) * step
 
@@ -113,7 +113,7 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
 
 from functools import partial as _partial
 
-GRAM = 8  # initial seeding width: one int64-key sort ranks 8-symbol prefixes
+GRAM = 16  # seeding width: one 2-word-key sort ranks 16-symbol prefixes
 _PAD_SYM = 7  # padding symbol, sorts after every real rank
 
 
@@ -134,16 +134,21 @@ def _sa_build_v2(rounds, n, codes):
     Round structure (all rows sorted together in each lax.sort call; payloads
     ride the sort network instead of permutation gathers, which are
     issue-rate-bound on TPU):
-      seed: one stable sort on the 8-symbol gram (3 bits/symbol, int32).
-        The gram zero-fills fields after the first sentinel, so suffix
-        comparisons the reference resolves AT a sentinel
-        (src/suffix_array_builder.cpp:579-592: '$' ties break by text
-        position) compare equal here; stability puts them in position order
-        (= sentinel-id order), and the has_term flag forces distinct ranks
-        for those (equal-gram runs are homogeneous: a terminator gram
-        always carries a 0 field, a pure-base gram never does).
-      doubling: lexicographic (rank, next-rank) via two stable co-sorting
-        passes (LSD) + one unsort pass — 3 gather-free sorts per round.
+      seed: one stable 2-key sort on the 16-symbol gram (3 bits/symbol,
+        10+6 symbols across two int32 words).  The gram zero-fills fields
+        after the first sentinel, so suffix comparisons the reference
+        resolves AT a sentinel (src/suffix_array_builder.cpp:579-592: '$'
+        ties break by text position) compare equal here; stability puts
+        them in position order (= sentinel-id order), and the has_term flag
+        forces distinct ranks for those (equal-gram runs are homogeneous: a
+        terminator gram always carries a 0 field, a pure-base gram never
+        does).
+      doubling: one 2-key (rank, next-rank) sort + one unsort per round —
+        the pairs tie exactly where the new rank ties, so neither sort needs
+        stability.
+      final round: ranks are distinct by construction, so the (rank,
+        next-rank) sort IS the suffix order — the unsort and the trailing
+        order-by-rank sort are skipped.
     """
     import jax
     import jax.numpy as jnp
@@ -153,13 +158,17 @@ def _sa_build_v2(rounds, n, codes):
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
 
-    gram = jnp.zeros((B, n), dtype=jnp.int32)
+    g_hi = jnp.zeros((B, n), dtype=jnp.int32)
+    g_lo = jnp.zeros((B, n), dtype=jnp.int32)
     alive = jnp.ones((B, n), dtype=bool)
     has_term = jnp.zeros((B, n), dtype=bool)
     for k in range(GRAM):
         w = jnp.where(pos + k < n, jnp.roll(sym, -k, axis=-1), _PAD_SYM)
         v = jnp.where(alive, w, 0)
-        gram = (gram << 3) | v
+        if k < 10:
+            g_hi = (g_hi << 3) | v
+        else:
+            g_lo = (g_lo << 3) | v
         has_term = has_term | (w == 0)
         alive = alive & (w != 0)
     needs_distinct = (has_term | (sym == _PAD_SYM)).astype(jnp.int32)
@@ -177,29 +186,33 @@ def _sa_build_v2(rounds, n, codes):
         )
         return jnp.cumsum(boundary, axis=-1, dtype=jnp.int32)
 
-    g_s, idx_s, nd_s = jax.lax.sort(
-        (gram, idx, needs_distinct), dimension=-1, num_keys=1, is_stable=True
+    hi_s, lo_s, idx_s, nd_s = jax.lax.sort(
+        (g_hi, g_lo, idx, needs_distinct), dimension=-1, num_keys=2,
+        is_stable=True,
     )
-    new_rank = rank_sorted(g_s[:, 1:] != g_s[:, :-1], nd_s[:, 1:] == 1)
+    new_rank = rank_sorted(
+        (hi_s[:, 1:] != hi_s[:, :-1]) | (lo_s[:, 1:] != lo_s[:, :-1]),
+        nd_s[:, 1:] == 1,
+    )
     rank = unsort(idx_s, new_rank)
 
-    def body(r, rank):
+    def round_sort(r, rank):
         h = jnp.asarray(GRAM, jnp.int32) << r
         key2 = jnp.where(pos + h < n, jnp.roll(rank, -h, axis=-1), -1)
-        # LSD: stable sort by key2, then stable sort by rank
-        k2_s, r_s, i_s = jax.lax.sort(
-            (key2, rank, idx), dimension=-1, num_keys=1, is_stable=True
-        )
-        r_s, k2_s, i_s = jax.lax.sort(
-            (r_s, k2_s, i_s), dimension=-1, num_keys=1, is_stable=True
-        )
+        return jax.lax.sort((rank, key2, idx), dimension=-1, num_keys=2)
+
+    def body(r, rank):
+        r_s, k2_s, i_s = round_sort(r, rank)
         new_rank = rank_sorted(
             r_s[:, 1:] != r_s[:, :-1], k2_s[:, 1:] != k2_s[:, :-1]
         )
         return unsort(i_s, new_rank)
 
-    rank = jax.lax.fori_loop(0, rounds, body, rank)
-    _, order = jax.lax.sort((rank, idx), dimension=-1, num_keys=1)
+    if rounds == 0:
+        _, order = jax.lax.sort((rank, idx), dimension=-1, num_keys=1)
+        return order
+    rank = jax.lax.fori_loop(0, rounds - 1, body, rank)
+    _, _, order = round_sort(rounds - 1, rank)
     return order
 
 

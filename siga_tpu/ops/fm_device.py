@@ -159,23 +159,15 @@ def _plane_sample(ncols: int) -> int:
     return s
 
 
-def occ_all_fused(plane, length, i, tab=None):
-    """popcount occ over the fused (nblocks, s/16+s/32+5) plane: ONE row
-    gather per query (symbol words + '$'-mask words + checkpoint counts),
-    then VPU popcount — the minimal-gather form of occ_all_packed.  The
-    block width s is inferred from the plane's static column count."""
-    sample = _plane_sample(plane.shape[-1])
+def _occ_from_rows(rows, tail_len, sample):
+    """Popcount occ counts from gathered plane rows + tail lengths."""
     nwords = sample // 16
     ndwords = sample // 32
     popcount = jax.lax.population_count
-    pos = i + 1
-    block0 = pos // sample
-    block = block0 if tab is None else block0 + tab
-    rows = plane[block]  # [Q, ncols] single gather
     w = rows[..., :nwords].astype(jnp.uint32)
     d = rows[..., nwords:nwords + ndwords].astype(jnp.uint32)
     base = rows[..., nwords + ndwords:]
-    tail_len = (pos - block0 * sample).astype(jnp.uint32)
+    tail_len = tail_len.astype(jnp.uint32)
 
     widx = jnp.arange(nwords, dtype=jnp.uint32) * 16
     valid = jnp.clip(
@@ -204,6 +196,38 @@ def occ_all_fused(plane, length, i, tab=None):
     c_g = count2(jnp.uint32(0xAAAAAAAA))
     c_t = count2(jnp.uint32(0xFFFFFFFF))
     return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=-1)
+
+
+def occ_all_fused(plane, length, i, tab=None):
+    """popcount occ over the fused (nblocks, s/16+s/32+5) plane: ONE row
+    gather per query (symbol words + '$'-mask words + checkpoint counts),
+    then VPU popcount — the minimal-gather form of occ_all_packed.  The
+    block width s is inferred from the plane's static column count."""
+    sample = _plane_sample(plane.shape[-1])
+    pos = i + 1
+    block0 = pos // sample
+    block = block0 if tab is None else block0 + tab
+    rows = plane[block]  # [Q, ncols] single gather
+    tail_len = pos - block0 * sample
+    return _occ_from_rows(rows, tail_len, sample)
+
+
+def occ_all_fused_sharded(plane_local, length, i, tab, bps, axis):
+    """Sharded-plane occ: each device holds a contiguous row range of the
+    (stacked fwd+rev) fused plane; every device answers the queries whose
+    global block row falls in its shard (others contribute zeros) and a
+    psum combines.  SURVEY §2.9 "index sharding" — no reference analog."""
+    sample = _plane_sample(plane_local.shape[-1])
+    pos = i + 1
+    block0 = pos // sample
+    block = block0 if tab is None else block0 + tab
+    local = block - jax.lax.axis_index(axis) * bps
+    in_range = (local >= 0) & (local < bps)
+    rows = plane_local[jnp.clip(local, 0, bps - 1)]
+    tail_len = pos - block0 * sample
+    counts = _occ_from_rows(rows, tail_len, sample)
+    counts = jnp.where(in_range[..., None], counts, 0)
+    return jax.lax.psum(counts, axis)
 
 
 def occ_all_packed(words, dollars, checkpoints, length, i, tab=None):
@@ -313,9 +337,8 @@ def _pack_bits32(flags):
     return words.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _scan_packed_v2(
-    max_t, min_overlap, cap, fcap, fwd_groups, rev_groups,
+def _scan_packed_core(
+    max_t, lim_t, min_overlap, cap, fcap, fwd_groups, rev_groups, occ_shard,
     plane, pred, length, nblocks,
     la_words, lens,
 ):
@@ -382,8 +405,14 @@ def _scan_packed_v2(
     tab2 = jnp.concatenate([tab, tab])
     tab2_other = jnp.concatenate([tab_other, tab_other])
 
-    def occ(i, tabs):
-        return occ_all_fused(plane, length, i, tabs)
+    if occ_shard is None:
+        def occ(i, tabs):
+            return occ_all_fused(plane, length, i, tabs)
+    else:
+        bps, axis = occ_shard
+
+        def occ(i, tabs):
+            return occ_all_fused_sharded(plane, length, i, tabs, bps, axis)
 
     c0 = chars[:, max_t]  # chars[:, T] holds s'[l-1]
     lo0 = pred[c0]
@@ -415,8 +444,8 @@ def _scan_packed_v2(
         emitted = jnp.stack([lo, rlo, hi - lo], axis=-1)
         return ns, (emitted, emit_valid)
 
-    p1 = min(max(min_overlap - 1, 0), max_t)
-    T2 = max_t - p1
+    p1 = min(max(min_overlap - 1, 0), lim_t)
+    T2 = lim_t - p1
     s1, _ = jax.lax.scan(
         lambda s, t: step_core(s, t, False), state0,
         jnp.arange(p1, dtype=jnp.int32),
@@ -424,7 +453,7 @@ def _scan_packed_v2(
     if T2 > 0:
         s2, (emitted, valid) = jax.lax.scan(
             lambda s, t: step_core(s, t, True), s1,
-            jnp.arange(p1, max_t, dtype=jnp.int32),
+            jnp.arange(p1, lim_t, dtype=jnp.int32),
         )
     else:
         s2 = s1
@@ -464,6 +493,33 @@ def _scan_packed_v2(
         data = jnp.zeros((cap, 3), jnp.int32)
     counts = jnp.stack([count, fcount])
     return counts, idx, data, fidx.astype(jnp.int32), frows.astype(jnp.int32), subwords
+
+
+_scan_packed_v2 = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
+    _scan_packed_core
+)
+
+
+def _build_sharded_scan(mesh, axis, statics):
+    """Compile the stage-A scan with the fused occ plane SA-range-sharded
+    over the mesh: every device holds 1/D of the (stacked fwd+rev) plane
+    rows and the per-step occ is answered by owner shards + psum
+    (occ_all_fused_sharded).  Lanes are replicated — this is the capacity
+    mode for indexes larger than one device's HBM (SURVEY §2.9 index
+    sharding; BASELINE >HBM axis), trading redundant lane compute for a
+    D-fold larger addressable index."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    core = partial(_scan_packed_core, *statics)
+    fn = shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -626,7 +682,8 @@ class DualScanner:
 
     def __init__(self, dfwd: DeviceFM, drev: DeviceFM, mesh=None,
                  fwd_groups=(GROUP_ID, GROUP_RC),
-                 rev_groups=(GROUP_REV, GROUP_COMP)):
+                 rev_groups=(GROUP_REV, GROUP_COMP),
+                 shard_index: bool = False):
         assert dfwd.length == drev.length
         assert dfwd.sample == drev.sample and dfwd.nblocks == drev.nblocks
         self.length = dfwd.length
@@ -636,7 +693,24 @@ class DualScanner:
         plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
         self.pred = dfwd.pred
         self.mesh = mesh
-        if mesh is not None:
+        self._occ_shard = None
+        self._sharded_fns = {}
+        if mesh is not None and shard_index:
+            # SA-range index sharding: 1/D of the stacked plane per device
+            # (capacity mode for >HBM indexes); reads replicated.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = mesh.shape["data"]
+            rows = int(plane.shape[0])
+            pad = (-rows) % ndev
+            plane = jnp.pad(plane, ((0, pad), (0, 0)))
+            plane = jax.device_put(plane, NamedSharding(mesh, P("data", None)))
+            self.pred = jax.device_put(self.pred, NamedSharding(mesh, P()))
+            self._occ_shard = ((rows + pad) // ndev, "data")
+            repl = NamedSharding(mesh, P())
+            self._lane_sharding = repl
+            self._vec_sharding = repl
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
@@ -663,10 +737,24 @@ class DualScanner:
             jax.device_put(lens, self._vec_sharding),
         )
 
-    def _run(self, cap, fcap, max_t, min_overlap, la_d, lens_d):
+    def _run(self, cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d):
+        if self._occ_shard is not None:
+            statics = (
+                max_t, lim_t, min_overlap, cap, fcap,
+                self.fwd_groups, self.rev_groups, self._occ_shard,
+            )
+            fn = self._sharded_fns.get(statics)
+            if fn is None:
+                fn = _build_sharded_scan(self.mesh, "data", statics)
+                self._sharded_fns[statics] = fn
+            return fn(
+                self.plane, self.pred,
+                jnp.int32(self.length), jnp.int32(self.nblocks),
+                la_d, lens_d,
+            )
         return _scan_packed_v2(
-            max_t, min_overlap, cap, fcap, self.fwd_groups, self.rev_groups,
-            self.plane, self.pred,
+            max_t, lim_t, min_overlap, cap, fcap, self.fwd_groups, self.rev_groups,
+            None, self.plane, self.pred,
             jnp.int32(self.length), jnp.int32(self.nblocks),
             la_d, lens_d,
         )
@@ -689,6 +777,11 @@ class DualScanner:
         la_w, lens = pack_reads_2bit(seqs, n, maxlen)
         la_d, lens_d = self._put(la_w, lens)
         max_t = maxlen - 1
+        # scan only as deep as the chunk's real maximum read length (the
+        # packed width rounds up to 16 symbols; update steps beyond
+        # max(lens)-1 are all-masked).  Bucket to multiples of 8 to bound
+        # the number of compiled shapes.
+        lim_t = min(max_t, -(-(int(lens.max()) - 1) // 8) * 8)
         num_lanes = n * (len(self.fwd_groups) + len(self.rev_groups))
         # fcap = lane count: every lane yields at most one candidate, so the
         # candidate compaction can never overflow
@@ -702,9 +795,10 @@ class DualScanner:
             self._kc = _granule(2 * n + n // 8, 4096)
         kb = min(self._kb, cap)
         kc = min(self._kc, fcap)
-        out = self._run(cap, fcap, max_t, min_overlap, la_d, lens_d)
+        out = self._run(cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d)
         packed = self._pack_ship(out, kb, kc)
-        return (out, packed, kb, kc, cap, fcap, n, max_t, min_overlap, la_d, lens_d)
+        return (out, packed, kb, kc, cap, fcap, n, max_t, lim_t, min_overlap,
+                la_d, lens_d)
 
     def collect(self, handle):
         """Fetch one dispatched chunk (normally a single host sync).
@@ -721,7 +815,7 @@ class DualScanner:
           substr_flags: uint8 [lanes] — lext|rext DNA extension of the
             full-length interval (the substring-read test, computed fully
             on device)."""
-        (out, packed_d, kb, kc, cap, fcap, n, max_t, min_overlap,
+        (out, packed_d, kb, kc, cap, fcap, n, max_t, lim_t, min_overlap,
          la_d, lens_d) = handle
         packed = np.asarray(packed_d)
         nblocks, fcount = int(packed[0]), int(packed[1])
@@ -729,7 +823,7 @@ class DualScanner:
             # scan-side compaction overflowed: re-run with a bigger cap
             cap = _next_pow2(nblocks)
             self._cap = cap
-            out = self._run(cap, fcap, max_t, min_overlap, la_d, lens_d)
+            out = self._run(cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d)
             kb = min(max(kb, _granule(nblocks, 8192)), cap)
             self._kb = max(self._kb, kb)
             packed = np.asarray(self._pack_ship(out, kb, kc))
@@ -766,8 +860,8 @@ class DualScanner:
         data[:, 1] = data3[:, 0] + data3[:, 2]
         data[:, 2] = data3[:, 1]
         data[:, 3] = data3[:, 1] + data3[:, 2]
-        p1 = min(max(min_overlap - 1, 0), max_t)
-        t2 = max_t - p1
+        p1 = min(max(min_overlap - 1, 0), lim_t)
+        t2 = lim_t - p1
         if t2 > 0 and nblocks:
             lane = idx_h // t2
             t = idx_h % t2 + p1

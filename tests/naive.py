@@ -123,3 +123,98 @@ def expected_exhaustive_edges(named_reads, min_overlap, rc=True):
                     f"{qn} {tn} {c1[0]} {c1[1]} {c1[2]} {c2[0]} {c2[1]} {c2[2]} {is_rc} 0"
                 )
     return sorted(out)
+
+
+def expected_irreducible_edges(named_reads, min_overlap, rc=True):
+    """Brute-force the DEFAULT (irreducible) mode ED record strings.
+
+    Encodes the reference IrreducibleBlockListExtractor semantics
+    (/root/reference/src/overlap_builder.cpp:706-836) directly on strings,
+    independent of any FM-index machinery: per query A and direction, a
+    candidate target B (overlap length o, extension string rest_B = what
+    follows the overlap in B, written in A's rightward/leftward direction)
+    is irreducible iff NO candidate C of the same direction with a longer
+    overlap has rest_C a proper prefix of rest_B — such a C makes B
+    reachable through C (the lockstep extension keeps B in C's group until
+    C terminates, then drops the group).  Candidates of both strand classes
+    of a direction share the group space, exactly like the joined
+    suffixfwd+suffixrev / prefixfwd+prefixrev lists (overlap_builder.cpp:
+    1165-1173).
+
+    Assumes rmdup'd input: no read is a substring of another and no two
+    reads are equal (the reference aborts such reads during extraction).
+    """
+    out = []
+    items = list(named_reads.items())
+
+    def emit(qn, q, tn, t, cls, o):
+        lq, lt = len(q), len(t)
+        if cls == "SP":
+            c1 = (lq - o, lq - 1, lq)
+            c2 = (0, o - 1, lt)
+            is_rc, qr = 0, False
+        elif cls == "PP":
+            c1 = (0, o - 1, lq)
+            c2 = (0, o - 1, lt)
+            is_rc, qr = 1, True
+        elif cls == "PS":
+            c1 = (0, o - 1, lq)
+            c2 = (lt - o, lt - 1, lt)
+            is_rc, qr = 0, True
+        else:  # SS
+            c1 = (lq - o, lq - 1, lq)
+            c2 = (lt - o, lt - 1, lt)
+            is_rc, qr = 1, False
+        contained = (c1[0] == 0 and c1[1] + 1 == lq) or (
+            c2[0] == 0 and c2[1] + 1 == lt
+        )
+        if qn < tn or (contained and qr):
+            return
+        out.append(
+            f"{qn} {tn} {c1[0]} {c1[1]} {c1[2]} {c2[0]} {c2[1]} {c2[2]} {is_rc} 0"
+        )
+
+    for qn, q in items:
+        lq = len(q)
+        # direction -> list of (overlap_len, rest, tn, cls)
+        # rest is written in the query's extension direction: rightward for
+        # the suffix direction, leftward (reversed) for the prefix direction
+        for direction in ("suffix", "prefix"):
+            cands = []
+            for tn, t in items:
+                if tn == qn:
+                    continue
+                lt = len(t)
+                for o in range(min_overlap, min(lq - 1, lt) + 1):
+                    if direction == "suffix":
+                        # SP: suffix(A) = prefix(B), B extends right
+                        if q[lq - o :] == t[:o]:
+                            cands.append((o, t[o:], tn, "SP"))
+                        # SS: suffix(A) = rc of suffix(B): B' = rc(B)
+                        if rc and q[lq - o :] == revcomp(t[lt - o :]):
+                            cands.append((o, revcomp(t[: lt - o]), tn, "SS"))
+                    else:
+                        # PS: prefix(A) = suffix(B), B extends left; rest
+                        # reversed so prefix comparisons are left-extensions
+                        if q[:o] == t[lt - o :]:
+                            cands.append((o, t[: lt - o][::-1], tn, "PS"))
+                        # PP: prefix(A) = rc of prefix(B)
+                        if rc and q[:o] == revcomp(t[:o]):
+                            cands.append((o, revcomp(t[o:])[::-1], tn, "PP"))
+            # keep only the longest overlap per (target, class): the
+            # submaximal filter resolves shorter same-pair overlaps
+            best = {}
+            for o, rest, tn, cls in cands:
+                key = (tn, cls)
+                if key not in best or best[key][0] < o:
+                    best[key] = (o, rest, tn, cls)
+            cands = sorted(best.values(), key=lambda x: -x[0])
+            for o, rest, tn, cls in cands:
+                covered = False
+                for o2, rest2, tn2, cls2 in cands:
+                    if o2 > o and len(rest2) < len(rest) and rest.startswith(rest2):
+                        covered = True
+                        break
+                if not covered:
+                    emit(qn, q, tn, dict(items)[tn], cls, o)
+    return sorted(out)

@@ -199,3 +199,69 @@ def test_batched_rmdup_matches_host():
     records = [DNASeq(name=n, seq=s) for n, s in zip(names, seqs)]
     dev_lines = [h.serialize() for h in batch_duplicate_hits(builder, records)]
     assert dev_lines == host_lines
+
+
+def _dedup_reads(reads):
+    """Drop exact duplicates and rc-duplicates (rmdup'd input assumption of
+    the irreducible oracle)."""
+    seen = set()
+    out = {}
+    for n, s in reads.items():
+        if s in seen or revcomp(s) in seen:
+            continue
+        seen.add(s)
+        out[n] = s
+    return out
+
+
+def test_irreducible_matches_bruteforce_oracle():
+    """Default-mode (irreducible) ED output vs the string-level oracle —
+    an executable reference-parity check that does not route through the
+    FM-index machinery under test (VERDICT round-1 item 6)."""
+    from naive import expected_irreducible_edges
+
+    rng = random.Random(19)
+    genome = random_genome(rng, 400)
+    reads = _dedup_reads(tiled_reads(genome, 60, 9))
+    names, seqs = list(reads), list(reads.values())
+    got, hits = run_overlap(names, seqs, 30, irreducible=True)
+    want = expected_irreducible_edges(reads, 30)
+    assert got == want
+    # and the device engine agrees with the host engine
+    got_dev, _ = run_overlap(names, seqs, 30, irreducible=True, engine="tpu")
+    assert got_dev == want
+
+
+def test_irreducible_oracle_with_rc_reads():
+    from naive import expected_irreducible_edges
+
+    rng = random.Random(23)
+    genome = random_genome(rng, 300)
+    reads = _dedup_reads(tiled_reads(genome, 50, 11))
+    flipped = {}
+    for i, (n, s) in enumerate(reads.items()):
+        flipped[n] = revcomp(s) if i % 3 == 1 else s
+    names, seqs = list(flipped), list(flipped.values())
+    got, _ = run_overlap(names, seqs, 25, irreducible=True)
+    want = expected_irreducible_edges(flipped, 25)
+    assert got == want
+
+
+def test_irreducible_oracle_varied_lengths():
+    from naive import expected_irreducible_edges
+
+    rng = random.Random(31)
+    genome = random_genome(rng, 350)
+    reads = {}
+    i = 0
+    k = 0
+    while i + 75 <= len(genome):
+        L = [55, 65, 75][k % 3]
+        reads[f"v{k:03d}"] = genome[i : i + L]
+        i += 13
+        k += 1
+    reads = _dedup_reads(reads)
+    names, seqs = list(reads), list(reads.values())
+    got, _ = run_overlap(names, seqs, 28, irreducible=True)
+    want = expected_irreducible_edges(reads, 28)
+    assert got == want
