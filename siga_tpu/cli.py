@@ -78,6 +78,9 @@ OPTION_TABLES: Dict[str, Tuple[str, List[Tuple[str, bool, str]]]] = {
             ("exhaustive", False, "x"),
             ("no-opposite-strand", False, ""),
             ("engine", True, ""),
+            ("process-id", True, ""),
+            ("num-processes", True, ""),
+            ("merge-only", False, ""),
             ("help", False, "h"),
         ],
     ),
@@ -209,7 +212,9 @@ Correct sequencing errors in the reads
   -x, --kmer-threshold=N     attempt correction below this coverage (default: 3)
       --kmer-rounds=N        max correction rounds per read (default: 10)
   -o, --out=FILE             output file (default: PREFIX.ec.fa)
-      --engine=host|tpu      k-mer counting engine (default: auto)''',
+      --engine=batch|host|tpu correction engine (default: auto = the
+                             vectorized batch corrector when the index
+                             matches the input reads)''',
     "overlap": '''siga overlap [OPTION] ... READSFILE
 Compute pairwise overlaps between all the sequences in READS
 
@@ -218,7 +223,11 @@ Compute pairwise overlaps between all the sequences in READS
   -t, --threads=NUM          hits output shards (default: 1)
   -x, --exhaustive           output all overlaps, including transitive edges
       --no-opposite-strand   treat all reads as forward strand
-      --engine=host|tpu      stage-A engine (default: auto)''',
+      --engine=host|tpu      stage-A engine (default: auto)
+      --process-id=I         multi-host worker: compute only reads I mod N,
+                             write hits shard I (index replicated per host)
+      --num-processes=N      multi-host world size
+      --merge-only           emit the ASQG from existing hits shards (-t N)''',
     "assemble": '''siga assemble [OPTION] ... ASQGFILE
 Create contigs from the assembly graph ASQGFILE
 

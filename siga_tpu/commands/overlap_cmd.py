@@ -47,14 +47,61 @@ def build_overlaps(
     rc: bool = True,
     shards: int = 1,
     engine: str = "auto",
+    process_id=None,
+    num_processes: int = 1,
+    merge_only: bool = False,
 ) -> bool:
-    fmi = FMIndex.load(prefix + BWT_EXT)
-    rfmi = FMIndex.load(prefix + RBWT_EXT)
-    builder = OverlapBuilder(fmi, rfmi, prefix, irreducible=irreducible, rc=rc)
-
     records = fastx.read_sequences(input_path)
     names = [r.name for r in records]
     lengths = [len(r.seq) for r in records]
+
+    if process_id is not None and not merge_only:
+        # multi-host worker (BASELINE config 5): index replicated in this
+        # process, reads sharded round-robin; writes exactly the hits shard
+        # a single-process `-t N` run would write for this residue class.
+        fmi = FMIndex.load(prefix + BWT_EXT)
+        rfmi = FMIndex.load(prefix + RBWT_EXT)
+        builder = OverlapBuilder(fmi, rfmi, prefix, irreducible=irreducible, rc=rc)
+        subset = records[process_id::num_processes]
+        gidx = list(range(process_id, len(records), num_processes))
+        shard_path = f"{prefix}-thread{process_id}{HITS_EXT}{GZIP_EXT}"
+        from .. import native as native_mod
+        from ..ops.search import _blocks_to_array, batch_overlap_hits
+
+        if engine in ("auto", "tpu"):
+            hits_iter = batch_overlap_hits(builder, subset, min_overlap)
+        else:
+            hits_iter = _host_hits(builder, subset, min_overlap)
+        native_fmt = native_mod.available()
+        with fastx.xopen(shard_path, "wb") as f:
+            pend = []
+            for local, hit in enumerate(hits_iter):
+                hit.idx = gidx[local]
+                if native_fmt:
+                    arr = getattr(hit, "_array", None)
+                    if arr is None:
+                        arr = _blocks_to_array(hit.blocks)
+                    pend.append((hit.idx, hit.substring, arr))
+                    if len(pend) >= 4096:
+                        _flush_shard(f, pend)
+                else:
+                    f.write((hit.serialize() + "\n").encode())
+            if pend:
+                _flush_shard(f, pend)
+        from ..parallel.multihost import barrier
+
+        barrier("overlap-hits")
+        return True
+
+    if merge_only:
+        return _merge_hits(
+            input_path, prefix, output_path, min_overlap, records, names,
+            lengths, shards,
+        )
+
+    fmi = FMIndex.load(prefix + BWT_EXT)
+    rfmi = FMIndex.load(prefix + RBWT_EXT)
+    builder = OverlapBuilder(fmi, rfmi, prefix, irreducible=irreducible, rc=rc)
 
     out = fastx.xopen(output_path, "wt")
     header = asqg.HeaderRecord(overlap=min_overlap, containment=1, infile=input_path)
@@ -155,6 +202,63 @@ def build_overlaps(
     return True
 
 
+def _flush_shard(f, pend) -> None:
+    from .. import native as native_mod
+
+    blob, _offs = native_mod.format_hits(
+        [p[0] for p in pend], [p[1] for p in pend], [p[2] for p in pend]
+    )
+    f.write(blob)
+    pend.clear()
+
+
+def _merge_hits(
+    input_path, prefix, output_path, min_overlap, records, names, lengths,
+    shards,
+) -> bool:
+    """Merge step of the multi-process overlap: re-read the N hits shard
+    files and emit the ASQG (header + VT in read order + ED shard-sequential)
+    — byte-identical to a single-process `-t N` run."""
+    hit_paths = [
+        f"{prefix}-thread{i}{HITS_EXT}{GZIP_EXT}" for i in range(max(1, shards))
+    ]
+    substring = [False] * len(records)
+    shard_items = []
+    for path in hit_paths:
+        items = []
+        with fastx.xopen(path, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                idx, sub, arr = Hit.parse_array(line)
+                substring[idx] = sub
+                items.append((idx, arr))
+        shard_items.append(items)
+
+    out = fastx.xopen(output_path, "wt")
+    header = asqg.HeaderRecord(overlap=min_overlap, containment=1, infile=input_path)
+    out.write(header.format() + "\n")
+    for rec, sub in zip(records, substring):
+        write_vertex_record(out, rec, sub)
+
+    sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)
+    rsa_perm, _ = sai_mod.load_sai(prefix + RSAI_EXT)
+    converter = BatchHitConverter(sa_perm, rsa_perm, names, lengths)
+    batch = []
+    for items in shard_items:
+        for item in items:
+            batch.append(item)
+            if len(batch) >= 4096:
+                for ed in converter.convert_lines(batch):
+                    out.write(ed + "\n")
+                batch = []
+    for ed in converter.convert_lines(batch):
+        out.write(ed + "\n")
+    out.close()
+    return True
+
+
 def _host_hits(builder: OverlapBuilder, records, min_overlap: int):
     for idx, rec in enumerate(records):
         hit = Hit(idx=idx)
@@ -170,6 +274,12 @@ def run(opts: dict, arguments: List[str]) -> int:
     input_path = arguments[0]
     prefix = opts.get("prefix") or fastx.stem(input_path)
     output = prefix + ASQG_EXT + GZIP_EXT
+    process_id = opts.get("process-id")
+    if process_id is not None:
+        process_id = int(process_id)
+        from ..parallel.multihost import init_distributed
+
+        init_distributed()
     ok = build_overlaps(
         input_path,
         prefix,
@@ -179,5 +289,8 @@ def run(opts: dict, arguments: List[str]) -> int:
         rc=not opts.get("no-opposite-strand"),
         shards=int(opts.get("threads", 1)),
         engine=str(opts.get("engine", "auto")),
+        process_id=process_id,
+        num_processes=int(opts.get("num-processes", 1)),
+        merge_only=bool(opts.get("merge-only")),
     )
     return 0 if ok else 255

@@ -203,7 +203,7 @@ def _batch_overlap_ordered(
     if mesh is None:
         import jax
 
-        if len(jax.devices()) > 1:
+        if len(jax.local_devices()) > 1:
             from ..parallel.dist import data_mesh
 
             mesh = data_mesh()
@@ -452,7 +452,7 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
     if mesh is None:
         import jax
 
-        if len(jax.devices()) > 1:
+        if len(jax.local_devices()) > 1:
             from ..parallel.dist import data_mesh
 
             mesh = data_mesh()

@@ -20,7 +20,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    """1-D data mesh over this process's addressable devices.
+
+    Local (not global) devices on purpose: in the multi-process regime
+    (parallel/multihost.py) each process scans its own read slice against a
+    replicated index and the shards merge through hit files — the
+    reference's per-thread fan-out (src/overlap_builder.cpp:444-457) lifted
+    to hosts — so device placement must stay addressable per process."""
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), ("data",))

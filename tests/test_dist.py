@@ -80,14 +80,6 @@ def test_index_sharded_scan_matches_replicated():
     rev, _rp, _ = sa_mod.build_index_arrays([s[::-1] for s in seqs])
     fmi, rfmi = FMIndex(fwd, ns), FMIndex(rev, ns)
     records = [DNASeq(name=f"r{i}", seq=s) for i, s in enumerate(seqs)]
-    builder = OverlapBuilder(fmi, rfmi)
-
-    host_lines = []
-    for i, rec in enumerate(records):
-        hit = Hit(idx=i)
-        res = builder.overlap(rec.seq, 25, hit.blocks)
-        hit.substring = res.substring
-        host_lines.append(hit.serialize())
 
     mesh = data_mesh(8)
     dfwd, drev = DeviceFM(fmi), DeviceFM(rfmi)
