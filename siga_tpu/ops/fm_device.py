@@ -84,16 +84,35 @@ class DeviceFM:
         self._host_dollar = dollar.view(np.int32)
         self._host_checkpoints = ckpt
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
-        self.occ_plane = jnp.asarray(
-            np.concatenate(
-                [self._host_words, self._host_dollar, self._host_checkpoints],
-                axis=1,
+        # transposed (SoA) plane: [ncols, nblocks].  The scan gathers along
+        # the LANE axis (one 17-high column copy per query) and every
+        # per-query array is a [Q] vector — full 128-lane VPU utilization.
+        # The row-major [nblocks, ncols] plane (minor dim 17) wasted 7/8 of
+        # each tile and ran elementwise math at 13% lane occupancy.
+        self.occ_planeT = jnp.asarray(
+            np.ascontiguousarray(
+                np.concatenate(
+                    [self._host_words, self._host_dollar, self._host_checkpoints],
+                    axis=1,
+                ).T
             )
         )
+        self._occ_plane = None
         self._codes = None
         self._checkpoints = None
         self._packed_words = None
         self._dollar_words = None
+
+    @property
+    def occ_plane(self):
+        if self._occ_plane is None:
+            self._occ_plane = jnp.asarray(
+                np.concatenate(
+                    [self._host_words, self._host_dollar, self._host_checkpoints],
+                    axis=1,
+                )
+            )
+        return self._occ_plane
 
     @property
     def codes(self):
@@ -230,6 +249,109 @@ def occ_all_fused_sharded(plane_local, length, i, tab, bps, axis):
     return jax.lax.psum(counts, axis)
 
 
+def _occ_from_cols(rowsT, tail_len, sample):
+    """Popcount occ counts from gathered transposed plane columns.
+
+    rowsT: [ncols, Q] (symbol words | '$' words | checkpoints per query),
+    tail_len: [Q].  Returns [5, Q] int32 counts.  Same math as
+    _occ_from_rows with the query axis minor (lane axis) so every
+    elementwise op runs at full VPU width."""
+    nwords = sample // 16
+    ndwords = sample // 32
+    popcount = jax.lax.population_count
+    w = rowsT[:nwords].astype(jnp.uint32)          # [nwords, Q]
+    d = rowsT[nwords:nwords + ndwords].astype(jnp.uint32)
+    base = rowsT[nwords + ndwords:]                # [5, Q]
+    tail = tail_len.astype(jnp.int32)
+
+    widx = (jnp.arange(nwords, dtype=jnp.int32) * 16)[:, None]
+    valid = jnp.clip(tail[None, :] - widx, 0, 16).astype(jnp.uint32)
+    wmask = jnp.where(
+        valid == 16, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1
+    )
+    didx = (jnp.arange(ndwords, dtype=jnp.int32) * 32)[:, None]
+    dvalid = jnp.clip(tail[None, :] - didx, 0, 32).astype(jnp.uint32)
+    dmask = jnp.where(
+        dvalid == 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << dvalid) - 1
+    )
+    n_dollar = popcount(d & dmask).sum(axis=0).astype(jnp.int32)
+    lo_bits = jnp.uint32(0x55555555)
+
+    def count2(pattern):
+        x = w ^ pattern
+        matched = ~(x | (x >> 1)) & lo_bits
+        return popcount(matched & wmask).sum(axis=0).astype(jnp.int32)
+
+    c_a = count2(jnp.uint32(0x00000000)) - n_dollar  # '$' packs as 0
+    c_c = count2(lo_bits)
+    c_g = count2(jnp.uint32(0xAAAAAAAA))
+    c_t = count2(jnp.uint32(0xFFFFFFFF))
+    return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=0)
+
+
+def occ_all_fused_T(planeT, length, i, tab=None):
+    """Transposed-plane occ: i int32 [Q] -> [5, Q] inclusive counts.
+
+    planeT is [ncols, nblocks]; one take_along_axis along the lane axis
+    gathers the 17-high column per query (fast: sublane-contiguous copy),
+    then popcount/mask math runs on [·, Q] arrays."""
+    ncols = planeT.shape[0]
+    sample = _plane_sample(ncols)
+    pos = i + 1
+    block0 = pos // sample
+    block = block0 if tab is None else block0 + tab
+    idx = jnp.broadcast_to(block[None, :], (ncols, i.shape[0]))
+    rowsT = jnp.take_along_axis(planeT, idx, axis=1)
+    tail_len = pos - block0 * sample
+    return _occ_from_cols(rowsT, tail_len, sample)
+
+
+def occ_all_fused_sharded_T(planeT_local, length, i, tab, bps, axis):
+    """Sharded transposed-plane occ: each device holds a contiguous COLUMN
+    range of the stacked plane; owners answer, a psum combines.  SURVEY §2.9
+    "index sharding" — no reference analog."""
+    ncols = planeT_local.shape[0]
+    sample = _plane_sample(ncols)
+    pos = i + 1
+    block0 = pos // sample
+    block = block0 if tab is None else block0 + tab
+    local = block - jax.lax.axis_index(axis) * bps
+    in_range = (local >= 0) & (local < bps)
+    idx = jnp.broadcast_to(
+        jnp.clip(local, 0, bps - 1)[None, :], (ncols, i.shape[0])
+    )
+    rowsT = jnp.take_along_axis(planeT_local, idx, axis=1)
+    tail_len = pos - block0 * sample
+    counts = _occ_from_cols(rowsT, tail_len, sample)
+    counts = jnp.where(in_range[None, :], counts, 0)
+    return jax.lax.psum(counts, axis)
+
+
+def _update_left_T(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
+    """IntervalPair.updateL on [Q] vectors with [5, Q] occ counts.
+
+    Mirrors src/overlap_builder.cpp:112-122; the 5-way rank selects unroll
+    statically (full-width VPU selects, no [Q, 5] minor-dim-5 arrays)."""
+    diff = u_counts - l_counts  # [5, Q]
+    below = jnp.zeros_like(lo)
+    dc = jnp.zeros_like(lo)
+    lc = jnp.zeros_like(lo)
+    uc = jnp.zeros_like(lo)
+    pb = jnp.zeros_like(lo)
+    for r in range(5):
+        sel = c == r
+        below = below + jnp.where(c > r, diff[r], 0)
+        dc = jnp.where(sel, diff[r], dc)
+        lc = jnp.where(sel, l_counts[r], lc)
+        uc = jnp.where(sel, u_counts[r], uc)
+        pb = jnp.where(sel, pred[r], pb)
+    nrlo = rlo + below
+    nrhi = nrlo + dc - 1
+    nlo = pb + lc
+    nhi = pb + uc - 1
+    return nlo, nhi, nrlo, nrhi
+
+
 def occ_all_packed(words, dollars, checkpoints, length, i, tab=None):
     """popcount occ over 2-bit-packed words: i int32 [Q] -> [Q, 5] int32.
 
@@ -339,7 +461,7 @@ def _pack_bits32(flags):
 
 def _scan_packed_core(
     max_t, lim_t, min_overlap, cap, fcap, fwd_groups, rev_groups, occ_shard,
-    plane, pred, length, nblocks,
+    planeT, pred, length, nblocks,
     la_words, lens,
 ):
     """Stage-A scan over 2-bit packed reads: the production overlap kernel.
@@ -394,40 +516,42 @@ def _scan_packed_core(
     }
     n = lens.shape[0]
     groups = tuple(fwd_groups) + tuple(rev_groups)
-    chars = jnp.concatenate([group_chars[g]() for g in groups], axis=0)
+    # transposed chars [maxlen, lanes]: each scan step consumes one
+    # contiguous row via xs (the old chars[:, t] was a strided column read
+    # of a [lanes, maxlen] matrix every step)
+    charsT = jnp.concatenate([group_chars[g]() for g in groups], axis=0).T
     lens_all = jnp.tile(lens, (len(groups),))
     nf, nr = len(fwd_groups), len(rev_groups)
     tab = jnp.concatenate(
         [jnp.zeros(n * nf, jnp.int32), jnp.full((n * nr,), 1, jnp.int32) * nblocks]
     )
     tab_other = nblocks - tab
-    num_lanes = chars.shape[0]
+    num_lanes = charsT.shape[1]
     tab2 = jnp.concatenate([tab, tab])
     tab2_other = jnp.concatenate([tab_other, tab_other])
 
     if occ_shard is None:
         def occ(i, tabs):
-            return occ_all_fused(plane, length, i, tabs)
+            return occ_all_fused_T(planeT, length, i, tabs)
     else:
         bps, axis = occ_shard
 
         def occ(i, tabs):
-            return occ_all_fused_sharded(plane, length, i, tabs, bps, axis)
+            return occ_all_fused_sharded_T(planeT, length, i, tabs, bps, axis)
 
-    c0 = chars[:, max_t]  # chars[:, T] holds s'[l-1]
+    c0 = charsT[max_t]  # charsT[T] holds s'[l-1]
     lo0 = pred[c0]
     full = occ(jnp.full((num_lanes,), 1, jnp.int32) * (length - 1), tab)
-    hi0 = lo0 + jnp.take_along_axis(full, c0[..., None], axis=-1)[..., 0] - 1
+    hi0 = lo0 + jnp.take_along_axis(full, c0[None, :], axis=0)[0] - 1
     state0 = (lo0, hi0, lo0, hi0)
 
-    def step_core(state, t, emit):
+    def step_core(state, c, t, emit):
         lo, hi, rlo, rhi = state
-        both = occ(jnp.concatenate([lo - 1, hi]), tab2)
-        l_counts = both[:num_lanes]
-        u_counts = both[num_lanes:]
+        both = occ(jnp.concatenate([lo - 1, hi]), tab2)  # [5, 2Q]
+        l_counts = both[:, :num_lanes]
+        u_counts = both[:, num_lanes:]
         active = t <= lens_all - 2
-        c = chars[:, t]
-        nlo, nhi, nrlo, nrhi = update_left_core(
+        nlo, nhi, nrlo, nrhi = _update_left_T(
             lo, hi, rlo, rhi, c, l_counts, u_counts, pred
         )
         ns = (
@@ -439,21 +563,22 @@ def _scan_packed_core(
         if not emit:
             return ns, ()
         # closed-form '$' probe: prlo = rlo, prhi = rlo + psize - 1
-        psize = u_counts[:, 0] - l_counts[:, 0]
+        psize = u_counts[0] - l_counts[0]
         emit_valid = (psize > 0) & (rlo + psize - 1 >= 0) & active
-        emitted = jnp.stack([lo, rlo, hi - lo], axis=-1)
+        emitted = jnp.stack([lo, rlo, hi - lo], axis=0)  # [3, Q]
         return ns, (emitted, emit_valid)
 
     p1 = min(max(min_overlap - 1, 0), lim_t)
     T2 = lim_t - p1
+    ts = jnp.arange(lim_t, dtype=jnp.int32)
     s1, _ = jax.lax.scan(
-        lambda s, t: step_core(s, t, False), state0,
-        jnp.arange(p1, dtype=jnp.int32),
+        lambda s, xs: step_core(s, xs[0], xs[1], False), state0,
+        (charsT[:p1], ts[:p1]),
     )
     if T2 > 0:
         s2, (emitted, valid) = jax.lax.scan(
-            lambda s, t: step_core(s, t, True), s1,
-            jnp.arange(p1, lim_t, dtype=jnp.int32),
+            lambda s, xs: step_core(s, xs[0], xs[1], True), s1,
+            (charsT[p1:lim_t], ts[p1:]),
         )
     else:
         s2 = s1
@@ -461,14 +586,14 @@ def _scan_packed_core(
 
     # finals: lext from own table, rext from the other table, closed probe
     both = occ(jnp.concatenate([flo - 1, fhi]), tab2)
-    l_counts = both[:num_lanes]
-    u_counts = both[num_lanes:]
-    lext_dna = (u_counts[:, 1:] - l_counts[:, 1:]).sum(axis=-1) > 0
+    l_counts = both[:, :num_lanes]
+    u_counts = both[:, num_lanes:]
+    lext_dna = (u_counts[1:] - l_counts[1:]).sum(axis=0) > 0
     both_r = occ(jnp.concatenate([frlo - 1, frhi]), tab2_other)
-    rext_dna = (both_r[num_lanes:, 1:] - both_r[:num_lanes, 1:]).sum(axis=-1) > 0
+    rext_dna = (both_r[1:, num_lanes:] - both_r[1:, :num_lanes]).sum(axis=0) > 0
     substring = lext_dna | rext_dna
-    l0 = l_counts[:, 0]
-    u0 = u_counts[:, 0]
+    l0 = l_counts[0]
+    u0 = u_counts[0]
     psize_f = u0 - l0
     # probe pair validity (native pair_valid semantics, extractor.cpp:321):
     # probe = (l0, u0-1, frlo, frlo+psize-1)
@@ -477,22 +602,28 @@ def _scan_packed_core(
     )
     fcount = fvalid.sum(dtype=jnp.int32)
     (fidx,) = jnp.nonzero(fvalid, size=fcap, fill_value=num_lanes - 1)
-    frows = jnp.stack([flo, fhi, frlo, frhi, l0, u0], axis=-1)[fidx]
+    # transposed [6, fcap]: compacted rows stay lane-minor (no minor-dim-6
+    # tile padding)
+    fall = jnp.stack([flo, fhi, frlo, frhi, l0, u0], axis=0)
+    frowsT = jnp.take_along_axis(fall, jnp.broadcast_to(fidx[None, :], (6, fcap)), axis=1)
     subwords = _pack_bits32(substring)
 
     if T2 > 0:
-        vT = valid.T.reshape(-1)  # lane-major flat index = lane*T2 + trel
+        # lane-major flat index = lane*T2 + trel
+        vT = valid.T.reshape(-1)
         count = vT.sum(dtype=jnp.int32)
         (idx,) = jnp.nonzero(vT, size=cap, fill_value=T2 * num_lanes - 1)
-        eT = emitted.transpose(1, 0, 2).reshape(num_lanes * T2, 3)
-        data = eT[idx]
+        eT = emitted.transpose(1, 2, 0).reshape(3, num_lanes * T2)
+        dataT = jnp.take_along_axis(
+            eT, jnp.broadcast_to(idx[None, :], (3, cap)), axis=1
+        )
         idx = idx.astype(jnp.int32)
     else:
         count = jnp.int32(0)
         idx = jnp.zeros((cap,), jnp.int32)
-        data = jnp.zeros((cap, 3), jnp.int32)
+        dataT = jnp.zeros((3, cap), jnp.int32)
     counts = jnp.stack([count, fcount])
-    return counts, idx, data, fidx.astype(jnp.int32), frows.astype(jnp.int32), subwords
+    return counts, idx, dataT, fidx.astype(jnp.int32), frowsT.astype(jnp.int32), subwords
 
 
 _scan_packed_v2 = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
@@ -515,7 +646,7 @@ def _build_sharded_scan(mesh, axis, statics):
     fn = shard_map(
         core,
         mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        in_specs=(P(None, axis), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
@@ -536,9 +667,9 @@ def _pack_v3(kb, kc, counts, idx, data, fidx, frows, subwords):
         [
             header,
             idx[:kb],
-            data[:kb].reshape(-1),
+            data[:, :kb].reshape(-1),
             fidx[:kc],
-            frows[:kc].reshape(-1),
+            frows[:, :kc].reshape(-1),
             subwords,
         ]
     )
@@ -690,21 +821,22 @@ class DualScanner:
         self.nblocks = dfwd.nblocks
         self.fwd_groups = tuple(fwd_groups)
         self.rev_groups = tuple(rev_groups)
-        plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
+        plane = jnp.concatenate([dfwd.occ_planeT, drev.occ_planeT], axis=1)
         self.pred = dfwd.pred
         self.mesh = mesh
         self._occ_shard = None
         self._sharded_fns = {}
         if mesh is not None and shard_index:
-            # SA-range index sharding: 1/D of the stacked plane per device
-            # (capacity mode for >HBM indexes); reads replicated.
+            # SA-range index sharding: 1/D of the stacked plane's block
+            # columns per device (capacity mode for >HBM indexes); reads
+            # replicated.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             ndev = mesh.shape["data"]
-            rows = int(plane.shape[0])
+            rows = int(plane.shape[1])
             pad = (-rows) % ndev
-            plane = jnp.pad(plane, ((0, pad), (0, 0)))
-            plane = jax.device_put(plane, NamedSharding(mesh, P("data", None)))
+            plane = jnp.pad(plane, ((0, 0), (0, pad)))
+            plane = jax.device_put(plane, NamedSharding(mesh, P(None, "data")))
             self.pred = jax.device_put(self.pred, NamedSharding(mesh, P()))
             self._occ_shard = ((rows + pad) // ndev, "data")
             repl = NamedSharding(mesh, P())
@@ -842,11 +974,13 @@ class DualScanner:
         k, fk = kb, kc
         pos = 4 + k
         idx_h = packed[4:pos][:nblocks].astype(np.int64)
-        data3 = packed[pos : pos + 3 * k].reshape(k, 3)[:nblocks]
+        data3 = packed[pos : pos + 3 * k].reshape(3, k)[:, :nblocks]
         pos += 3 * k
         cand_lanes = packed[pos : pos + fk][:fcount].astype(np.int64)
         pos += fk
-        cand_rows = packed[pos : pos + 6 * fk].reshape(fk, 6)[:fcount].astype(np.int64)
+        cand_rows = np.ascontiguousarray(
+            packed[pos : pos + 6 * fk].reshape(6, fk)[:, :fcount].T
+        ).astype(np.int64)
         pos += 6 * fk
         subwords_h = packed[pos:].view(np.uint32)
         subbits = (
@@ -856,10 +990,10 @@ class DualScanner:
         # reconstruct [lo, hi, rlo, rhi] from [lo, rlo, size]; idx is already
         # lane-major with t ascending (lane*T2 + t - (min_overlap-1))
         data = np.empty((nblocks, 4), dtype=np.int64)
-        data[:, 0] = data3[:, 0]
-        data[:, 1] = data3[:, 0] + data3[:, 2]
-        data[:, 2] = data3[:, 1]
-        data[:, 3] = data3[:, 1] + data3[:, 2]
+        data[:, 0] = data3[0]
+        data[:, 1] = data3[0] + data3[2]
+        data[:, 2] = data3[1]
+        data[:, 3] = data3[1] + data3[2]
         p1 = min(max(min_overlap - 1, 0), lim_t)
         t2 = lim_t - p1
         if t2 > 0 and nblocks:

@@ -84,11 +84,12 @@ def test_index_sharded_scan_matches_replicated():
     mesh = data_mesh(8)
     dfwd, drev = DeviceFM(fmi), DeviceFM(rfmi)
     sharded = DualScanner(dfwd, drev, mesh, shard_index=True)
-    # the plane really is partitioned: each device holds ~1/8 of the rows
+    # the plane really is partitioned: each device holds ~1/8 of the block
+    # columns (transposed [ncols, nblocks] layout)
     shards = sharded.plane.addressable_shards
     assert len({s.device for s in shards}) == 8
-    total_rows = sharded.plane.shape[0]
-    assert all(s.data.shape[0] == total_rows // 8 for s in shards)
+    total_cols = sharded.plane.shape[1]
+    assert all(s.data.shape[1] == total_cols // 8 for s in shards)
 
     n = -(-len(records) // 8) * 8  # lane bucket divisible by the mesh
     maxlen = 64
