@@ -110,7 +110,9 @@ def main():
 
     NB = 15817
     planeT = jnp.asarray(rng.integers(0, 2**31 - 1, (17, 2 * NB), dtype=np.int32))
-    # make checkpoints rows sane (monotone) to avoid weird emission counts:
+    # NOTE: planeT rows are fully random (checkpoints NOT monotone), so the
+    # production timing below can include unrepresentative emission/compaction
+    # behavior — this probe bounds layout cost only, not emission fidelity.
     la_words = jnp.asarray(
         rng.integers(0, 2**31 - 1, (8192, 7), dtype=np.int32))
     lens = jnp.full((8192,), 100, jnp.int32)

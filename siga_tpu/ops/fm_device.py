@@ -106,12 +106,11 @@ class DeviceFM:
     @property
     def occ_plane(self):
         if self._occ_plane is None:
-            self._occ_plane = jnp.asarray(
-                np.concatenate(
-                    [self._host_words, self._host_dollar, self._host_checkpoints],
-                    axis=1,
-                )
-            )
+            # derive the row-major plane from the eager transposed plane ON
+            # DEVICE (one transpose) instead of a second full-size host
+            # upload — a process touching both views holds 2x FM-table HBM
+            # either way, but only transiently and without the link cost
+            self._occ_plane = jnp.ascontiguousarray(self.occ_planeT.T)
         return self._occ_plane
 
     @property

@@ -39,29 +39,44 @@ def test_mesh_overlap_matches_single_device():
 
 
 def test_sharded_fm_occ_matches_host():
-    """SA-range-sharded occ tables across 8 devices answer identically to the
-    single-device host FM-index."""
+    """SA-range-sharded occ queries (the live scan's sharded occ primitive,
+    ops/fm_device.occ_all_fused_sharded_T) answer identically to the
+    single-device host FM-index across shard boundaries."""
+    import jax.numpy as jnp
     import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from siga_tpu.ops.sharded_fm import ShardedDeviceFM
+    from siga_tpu.ops.fm_device import DeviceFM, occ_all_fused_sharded_T
 
     rng = random.Random(3)
     genome = "".join(rng.choice("ACGT") for _ in range(600))
     seqs = [genome[i : i + 40] for i in range(0, 540, 13)]
     fwd, _p, ns = sa_mod.build_index_arrays(seqs)
     fmi = FMIndex(fwd, ns)
-    sharded = ShardedDeviceFM(fmi, data_mesh(8))
+    dfm = DeviceFM(fmi)
+    mesh = data_mesh(8)
+    ndev = 8
+    planeT = dfm.occ_planeT
+    pad = (-int(planeT.shape[1])) % ndev
+    planeT = jnp.pad(planeT, ((0, 0), (0, pad)))
+    planeT = jax.device_put(planeT, NamedSharding(mesh, P(None, "data")))
+    bps = int(planeT.shape[1]) // ndev
 
     qs = np.array([-1, 0, 1, 37, 128, 129, 400, fmi.length - 1], dtype=np.int64)
-    got = sharded.occ_all(qs)
+
+    fn = shard_map(
+        lambda plane, i: occ_all_fused_sharded_T(
+            plane, fmi.length, i, None, bps, "data"
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "data"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    got = np.asarray(jax.jit(fn)(planeT, jnp.asarray(qs, jnp.int32))).T
     want = fmi.occ_all(qs)
     assert np.array_equal(got, want)
-
-    # batched k-mer counting through the sharded index
-    kmers = [seqs[0][:8], seqs[3][10:18], "ACGTACGT", "TTTTTTTT"]
-    counts = sharded.count_kmers(kmers, 8)
-    want_counts = [fmi.occurrences(w) for w in kmers]
-    assert counts.tolist() == want_counts
 
 
 def test_index_sharded_scan_matches_replicated():

@@ -140,3 +140,23 @@ def test_device_index_arrays_match_host():
     assert np.array_equal(host[0], dev[0])
     assert np.array_equal(host[1], dev[1])
     assert host[2] == dev[2]
+
+
+def test_occ_from_cols_matches_occ_from_rows():
+    """ADVICE r2: the transposed-plane popcount math (_occ_from_cols) must
+    stay in lockstep with the row-major form (_occ_from_rows) — random
+    planes, every tail length class."""
+    import jax.numpy as jnp
+
+    from siga_tpu.ops.fm_device import PLANE_COLS, _occ_from_cols, _occ_from_rows
+
+    rng = np.random.default_rng(5)
+    q = 64
+    rows = jnp.asarray(rng.integers(0, 2**31 - 1, (q, PLANE_COLS), dtype=np.int32))
+    tails = jnp.asarray(
+        np.concatenate([[0, 1, 31, 32, 33, 127, 128], rng.integers(0, 129, q - 7)])
+        .astype(np.int32)
+    )
+    want = np.asarray(_occ_from_rows(rows, tails, 128))
+    got = np.asarray(_occ_from_cols(rows.T, tails, 128)).T
+    assert np.array_equal(got, want)
