@@ -218,3 +218,85 @@ def expected_irreducible_edges(named_reads, min_overlap, rc=True):
                 if not covered:
                     emit(qn, q, tn, dict(items)[tn], cls, o)
     return sorted(out)
+
+
+def naive_contigs(named_reads, edge_lines):
+    """Brute-force contig walker: unbranched-chain merging on an oracle edge
+    set, independent of the production Bigraph machinery.
+
+    Encodes the reference semantics of `Bigraph::simplify` + `FastaVisitor`
+    (/root/reference/src/bigraph.cpp:341-414, src/assembler.cpp:95-241): a
+    link between two read-ends is merged iff BOTH ends have degree exactly
+    one; maximal chains of mergeable links become contigs, everything else
+    is emitted unmerged.  Edges are the ED record strings produced by
+    `expected_irreducible_edges`/`expected_exhaustive_edges`
+    ("id1 id2 s1 e1 l1 s2 e2 l2 rc nd").  Containment records are rejected
+    (rmdup'd input assumed).  Cyclic chains are not handled (use linear test
+    genomes).
+
+    Returns the contig strings canonicalized as min(c, revcomp(c)), sorted.
+    """
+    # per-(read, end) adjacency; end 'E' = suffix side, 'B' = prefix side
+    adj = {}
+    for name in named_reads:
+        adj[(name, "B")] = []
+        adj[(name, "E")] = []
+
+    def end_of(s, e, length):
+        assert not (s == 0 and e == length - 1), "containment edge in oracle set"
+        return "E" if s > 0 else "B"
+
+    for line in edge_lines:
+        f = line.split()
+        id1, id2 = f[0], f[1]
+        s1, e1, l1, s2, e2, l2, rc = (int(x) for x in f[2:9])
+        ov = e1 - s1 + 1
+        end1, end2 = end_of(s1, e1, l1), end_of(s2, e2, l2)
+        adj[(id1, end1)].append((id2, end2, ov, rc))
+        adj[(id2, end2)].append((id1, end1, ov, rc))
+
+    def usable(a_key, link):
+        b_key = (link[0], link[1])
+        return len(adj[a_key]) == 1 and len(adj[b_key]) == 1
+
+    def oriented(name, reverse):
+        s = named_reads[name]
+        return revcomp(s) if reverse else s
+
+    visited = set()
+    contigs = []
+    for start in named_reads:
+        if start in visited:
+            continue
+        # find a terminus orientation: an end with no usable exit link
+        exit_e = adj[(start, "E")]
+        exit_b = adj[(start, "B")]
+        e_usable = len(exit_e) == 1 and usable((start, "E"), exit_e[0])
+        b_usable = len(exit_b) == 1 and usable((start, "B"), exit_b[0])
+        if e_usable and b_usable:
+            continue  # interior of a chain; reached from its terminus
+        visited.add(start)
+        # orient so the usable link (if any) is on the right
+        if e_usable:
+            cur, rev = start, False
+        elif b_usable:
+            cur, rev = start, True
+        else:
+            contigs.append(named_reads[start])
+            continue
+        contig = oriented(cur, rev)
+        while True:
+            right_end = "B" if rev else "E"
+            links = adj[(cur, right_end)]
+            if len(links) != 1 or not usable((cur, right_end), links[0]):
+                break
+            nxt, enter_end, ov, rc = links[0]
+            assert nxt not in visited, "cyclic chain in oracle contig walker"
+            visited.add(nxt)
+            rev = enter_end == "E"
+            contig += oriented(nxt, rev)[ov:]
+            cur = nxt
+        contigs.append(contig)
+    # interior-only components are cycles (unsupported) or already covered
+    assert visited == set(named_reads), "cyclic chain in oracle contig walker"
+    return sorted(min(c, revcomp(c)) for c in contigs)
