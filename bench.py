@@ -36,6 +36,16 @@ BASELINE_READS_PER_SEC = 100_000.0  # est. reference @ 32-core CPU (see above)
 HBM_PEAK_GBPS = 819.0  # TPU v5e
 
 
+def _platform() -> str:
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def simulate_reads(num_reads=10_000, readlen=100, genome_size=200_000, seed=7):
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, genome_size, dtype=np.int8)
@@ -44,6 +54,105 @@ def simulate_reads(num_reads=10_000, readlen=100, genome_size=200_000, seed=7):
     return [
         alphabet[genome[s : s + readlen]].tobytes().decode() for s in starts
     ]
+
+
+def _stage_breakdown(builder, records, min_overlap):
+    """Per-stage engine timing with hard device syncs between phases
+    (VERDICT r2 item 2: localize where driver-environment time goes).
+
+    Stages: pack (host 2-bit packing + upload), scan (device stage-A alone,
+    block_until_ready), ship (pack+host copy of the compacted outputs), prep
+    (host searchsorted/probe plumbing), native (C++ stage B/C).  The
+    decomposed pass serializes device/host work, so the stage sum exceeds
+    the pipelined engine_sec — the deltas are what matters.
+    """
+    import jax
+
+    from siga_tpu.index import fm as fm_mod
+    from siga_tpu.ops import search as search_mod
+    from siga_tpu.ops.fm_device import (
+        GROUP_COMP, GROUP_ID, GROUP_RC, GROUP_REV, DeviceFM, DualScanner,
+        pack_reads_2bit,
+    )
+    from siga_tpu.ops.search import (
+        _bucket_len, _bucket_reads, _final8_from_cands,
+        _native_chunk_processor, _with_probe,
+    )
+
+    fmi, rfmi = builder.fmi, builder.rfmi
+    scanner = DualScanner(
+        DeviceFM(fmi), DeviceFM(rfmi), None,
+        (GROUP_ID, GROUP_RC), (GROUP_REV, GROUP_COMP),
+    )
+    chunk_reads = min(search_mod.CHUNK_READS, max(64, len(records)))
+    starts = list(range(0, len(records), chunk_reads))
+    proc = _native_chunk_processor(builder)
+    tm = {"pack": 0.0, "scan": 0.0, "ship": 0.0, "prep": 0.0, "native": 0.0}
+
+    def run_pass(tm):
+        for start in starts:
+            chunk = records[start : start + chunk_reads]
+            sqs = [r.seq for r in chunk]
+            maxlen = _bucket_len(max(len(s) for s in sqs))
+            n_bucket = _bucket_reads(len(chunk), chunk_reads, 1)
+
+            t0 = time.time()
+            la_w, lens = pack_reads_2bit(sqs, n_bucket, maxlen)
+            la_d, lens_d = scanner._put(la_w, lens)
+            jax.block_until_ready(la_d)
+            tm["pack"] += time.time() - t0
+
+            max_t = maxlen - 1
+            lim_t = min(max_t, -(-(int(lens.max()) - 1) // 8) * 8)
+            num_lanes = n_bucket * 4
+            cap, fcap = scanner._cap, num_lanes
+            if scanner._kb == 0:
+                scanner._kb = 8192 * 8
+            if scanner._kc == 0:
+                scanner._kc = 4096 * 6
+            kb, kc = min(scanner._kb, cap), min(scanner._kc, fcap)
+
+            t0 = time.time()
+            out = scanner._run(cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d)
+            jax.block_until_ready(out)
+            tm["scan"] += time.time() - t0
+
+            t0 = time.time()
+            packed_d = scanner._pack_ship(out, kb, kc)
+            handle = (out, packed_d, kb, kc, cap, fcap, n_bucket, max_t,
+                      lim_t, min_overlap, la_d, lens_d)
+            f_view, r_view = scanner.collect(handle)
+            tm["ship"] += time.time() - t0
+
+            t0 = time.time()
+            f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
+            r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
+            nb = len(f_sub) // 2
+            f_data = _with_probe(fmi, f_data)
+            r_data = _with_probe(rfmi, r_data)
+            num_lanes2 = 2 * nb
+            lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
+            f_starts = np.searchsorted(f_lane, np.arange(num_lanes2 + 1))
+            r_starts = np.searchsorted(r_lane, np.arange(num_lanes2 + 1))
+            f_fi = _final8_from_cands(num_lanes2, f_cl, f_cr)
+            r_fi = _final8_from_cands(num_lanes2, r_cl, r_cr)
+            tm["prep"] += time.time() - t0
+
+            if proc is not None:
+                t0 = time.time()
+                proc.run(
+                    lens_chunk, True, True, nb,
+                    (f_starts, f_t, f_data, f_fi, f_sub),
+                    (r_starts, r_t, r_data, r_fi, r_sub),
+                )
+                tm["native"] += time.time() - t0
+        return tm
+
+    run_pass(dict(tm))  # warm pass: sticky caps + compiles settle
+    t_all = time.time()
+    tm = run_pass(tm)
+    tm["total_serialized"] = time.time() - t_all
+    return {k: round(v, 3) for k, v in tm.items()}
 
 
 def main():
@@ -92,6 +201,8 @@ def main():
     engine_sec = time.time() - t0
     engine_rps = n / engine_sec
 
+    stages = _stage_breakdown(builder, records, min_overlap)
+
     # end-to-end `siga overlap` command (FM load + engine + hits + VT/ED)
     import gzip
     import tempfile
@@ -116,13 +227,14 @@ def main():
         cmd_sec = time.time() - t0
         cmd_rps = num_reads / cmd_sec
 
-    # gather-bandwidth roofline for the engine pass
+    # gather-bandwidth roofline for the device scan alone
     lanes_per_read = 4  # ID/RC lanes on fwd index, REV/COMP on rev index
     maxlen16 = -(-readlen // 16) * 16
     occ_bytes = (
-        2 * 68.0 * lanes_per_read * num_reads * (maxlen16 - 1)
-    )  # 2 row-gathers/lane-step, 17 int32 per fused occ row
-    occ_gbps = occ_bytes / engine_sec / 1e9
+        2 * 64.0 * lanes_per_read * num_reads * (maxlen16 - 1)
+    )  # 2 row-gathers/lane-step, 16 int32 per fused occ row
+    scan_sec = max(stages.get("scan", 0.0), 1e-9)
+    occ_gbps = occ_bytes / scan_sec / 1e9
 
     print(
         json.dumps(
@@ -145,6 +257,9 @@ def main():
                     ),
                     "occ_gather_gbps": round(occ_gbps, 1),
                     "hbm_frac": round(occ_gbps / HBM_PEAK_GBPS, 3),
+                    "stages_sec": stages,
+                    "device_platform": _platform(),
+                    "native_threads": os.cpu_count(),
                 },
             }
         )

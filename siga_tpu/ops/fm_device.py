@@ -76,42 +76,35 @@ class DeviceFM:
                 ].astype(np.int32)
         # Only the fused occ plane (and the tiny pred) go to HBM eagerly:
         # one row gather serves symbol words + '$' mask + checkpoint counts.
-        # The separate codes/checkpoints/packed/dollar device buffers are
-        # lazy — the scan never reads them, so keeping eager copies would
-        # roughly double FM-table HBM for nothing.
+        # The separate codes/checkpoints device buffers are lazy — the scan
+        # never reads them, so keeping eager copies would roughly double
+        # FM-table HBM for nothing.
         self._host_padded = padded
         self._host_words = words.view(np.int32)
         self._host_dollar = dollar.view(np.int32)
         self._host_checkpoints = ckpt
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
-        # transposed (SoA) plane: [ncols, nblocks].  The scan gathers along
-        # the LANE axis (one 17-high column copy per query) and every
-        # per-query array is a [Q] vector — full 128-lane VPU utilization.
-        # The row-major [nblocks, ncols] plane (minor dim 17) wasted 7/8 of
-        # each tile and ran elementwise math at 13% lane occupancy.
-        self.occ_planeT = jnp.asarray(
+        # Row-major fused plane [nblocks, ncols]: symbol words | '$'-mask
+        # words | ACGT checkpoint counts.  The '$' checkpoint column is NOT
+        # stored — checkpoints are exclusive cumulative counts so the five
+        # symbols always sum to the block start position, and the occ math
+        # derives base_$ = block*sample - sum(base_ACGT).  That keeps ncols
+        # at exactly 16 for sample=128: a 64-byte row, and a per-query
+        # contiguous row gather (plane[idx]) is the fastest gather form on
+        # this hardware (~290 GB/s measured on a v5 chip; the transposed
+        # take_along_axis form the scan previously used ran 9-25x slower
+        # inside the scan loop).  The popcount math transposes the gathered
+        # [Q, 16] tile once and runs full-width on [*, Q] vectors.
+        self.occ_plane = jnp.asarray(
             np.ascontiguousarray(
                 np.concatenate(
-                    [self._host_words, self._host_dollar, self._host_checkpoints],
+                    [self._host_words, self._host_dollar, ckpt[:, 1:]],
                     axis=1,
-                ).T
+                )
             )
         )
-        self._occ_plane = None
         self._codes = None
         self._checkpoints = None
-        self._packed_words = None
-        self._dollar_words = None
-
-    @property
-    def occ_plane(self):
-        if self._occ_plane is None:
-            # derive the row-major plane from the eager transposed plane ON
-            # DEVICE (one transpose) instead of a second full-size host
-            # upload — a process touching both views holds 2x FM-table HBM
-            # either way, but only transiently and without the link cost
-            self._occ_plane = jnp.ascontiguousarray(self.occ_planeT.T)
-        return self._occ_plane
 
     @property
     def codes(self):
@@ -126,18 +119,6 @@ class DeviceFM:
         if self._checkpoints is None:
             self._checkpoints = jnp.asarray(self._host_checkpoints)
         return self._checkpoints
-
-    @property
-    def packed_words(self):
-        if self._packed_words is None:
-            self._packed_words = jnp.asarray(self._host_words)
-        return self._packed_words
-
-    @property
-    def dollar_words(self):
-        if self._dollar_words is None:
-            self._dollar_words = jnp.asarray(self._host_dollar)
-        return self._dollar_words
 
 
 def occ_all(codes, checkpoints, length, i):
@@ -166,101 +147,35 @@ def occ_all(codes, checkpoints, length, i):
 
 _NWORDS = SAMPLE // 16
 _NDWORDS = SAMPLE // 32
-PLANE_COLS = _NWORDS + _NDWORDS + 5  # symbol words | '$' words | checkpoints
+PLANE_COLS = _NWORDS + _NDWORDS + 4  # symbol words | '$' words | ACGT ckpts
 
 
 def _plane_sample(ncols: int) -> int:
     """Infer the occ block width from the fused plane's column count:
-    ncols = s/16 + s/32 + 5  =>  s = 32*(ncols-5)/3."""
-    s = 32 * (ncols - 5) // 3
-    assert s % 32 == 0 and s // 16 + s // 32 + 5 == ncols, ncols
+    ncols = s/16 + s/32 + 4  =>  s = 32*(ncols-4)/3."""
+    s = 32 * (ncols - 4) // 3
+    assert s % 32 == 0 and s // 16 + s // 32 + 4 == ncols, ncols
     return s
 
 
-def _occ_from_rows(rows, tail_len, sample):
-    """Popcount occ counts from gathered plane rows + tail lengths."""
+def _occ_from_rows(rows, block0, tail_len, sample):
+    """Popcount occ counts from gathered row-major plane rows.
+
+    rows: [Q, ncols] gathered plane rows (symbol words | '$'-mask words |
+    ACGT checkpoint counts); block0: [Q] POSITION block index (excluding
+    any stacked-table offset); tail_len: [Q].  Returns [5, Q] int32
+    inclusive counts.  The '$' checkpoint is derived, not stored:
+    checkpoints are exclusive cumulative counts so base_$ = block0*sample -
+    sum(base_ACGT).  The gathered [Q, ncols] tile is transposed once; all
+    mask/popcount math then runs with the query axis minor (full VPU lane
+    width)."""
     nwords = sample // 16
     ndwords = sample // 32
     popcount = jax.lax.population_count
-    w = rows[..., :nwords].astype(jnp.uint32)
-    d = rows[..., nwords:nwords + ndwords].astype(jnp.uint32)
-    base = rows[..., nwords + ndwords:]
-    tail_len = tail_len.astype(jnp.uint32)
-
-    widx = jnp.arange(nwords, dtype=jnp.uint32) * 16
-    valid = jnp.clip(
-        tail_len[..., None].astype(jnp.int32) - widx[None, :].astype(jnp.int32), 0, 16
-    ).astype(jnp.uint32)
-    full = valid == 16
-    wmask = jnp.where(full, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1)
-
-    didx = jnp.arange(ndwords, dtype=jnp.uint32) * 32
-    dvalid = jnp.clip(
-        tail_len[..., None].astype(jnp.int32) - didx[None, :].astype(jnp.int32), 0, 32
-    ).astype(jnp.uint32)
-    dfull = dvalid == 32
-    dmask = jnp.where(dfull, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << dvalid) - 1)
-
-    n_dollar = popcount(d & dmask).sum(axis=-1).astype(jnp.int32)
-    lo_bits = jnp.uint32(0x55555555)
-
-    def count2(pattern):
-        x = w ^ pattern
-        matched = ~(x | (x >> 1)) & lo_bits
-        return popcount(matched & wmask).sum(axis=-1).astype(jnp.int32)
-
-    c_a = count2(jnp.uint32(0x00000000)) - n_dollar  # '$' packs as 0
-    c_c = count2(lo_bits)
-    c_g = count2(jnp.uint32(0xAAAAAAAA))
-    c_t = count2(jnp.uint32(0xFFFFFFFF))
-    return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=-1)
-
-
-def occ_all_fused(plane, length, i, tab=None):
-    """popcount occ over the fused (nblocks, s/16+s/32+5) plane: ONE row
-    gather per query (symbol words + '$'-mask words + checkpoint counts),
-    then VPU popcount — the minimal-gather form of occ_all_packed.  The
-    block width s is inferred from the plane's static column count."""
-    sample = _plane_sample(plane.shape[-1])
-    pos = i + 1
-    block0 = pos // sample
-    block = block0 if tab is None else block0 + tab
-    rows = plane[block]  # [Q, ncols] single gather
-    tail_len = pos - block0 * sample
-    return _occ_from_rows(rows, tail_len, sample)
-
-
-def occ_all_fused_sharded(plane_local, length, i, tab, bps, axis):
-    """Sharded-plane occ: each device holds a contiguous row range of the
-    (stacked fwd+rev) fused plane; every device answers the queries whose
-    global block row falls in its shard (others contribute zeros) and a
-    psum combines.  SURVEY §2.9 "index sharding" — no reference analog."""
-    sample = _plane_sample(plane_local.shape[-1])
-    pos = i + 1
-    block0 = pos // sample
-    block = block0 if tab is None else block0 + tab
-    local = block - jax.lax.axis_index(axis) * bps
-    in_range = (local >= 0) & (local < bps)
-    rows = plane_local[jnp.clip(local, 0, bps - 1)]
-    tail_len = pos - block0 * sample
-    counts = _occ_from_rows(rows, tail_len, sample)
-    counts = jnp.where(in_range[..., None], counts, 0)
-    return jax.lax.psum(counts, axis)
-
-
-def _occ_from_cols(rowsT, tail_len, sample):
-    """Popcount occ counts from gathered transposed plane columns.
-
-    rowsT: [ncols, Q] (symbol words | '$' words | checkpoints per query),
-    tail_len: [Q].  Returns [5, Q] int32 counts.  Same math as
-    _occ_from_rows with the query axis minor (lane axis) so every
-    elementwise op runs at full VPU width."""
-    nwords = sample // 16
-    ndwords = sample // 32
-    popcount = jax.lax.population_count
-    w = rowsT[:nwords].astype(jnp.uint32)          # [nwords, Q]
+    rowsT = rows.T                                  # [ncols, Q]
+    w = rowsT[:nwords].astype(jnp.uint32)           # [nwords, Q]
     d = rowsT[nwords:nwords + ndwords].astype(jnp.uint32)
-    base = rowsT[nwords + ndwords:]                # [5, Q]
+    base_acgt = rowsT[nwords + ndwords:]            # [4, Q]
     tail = tail_len.astype(jnp.int32)
 
     widx = (jnp.arange(nwords, dtype=jnp.int32) * 16)[:, None]
@@ -285,43 +200,45 @@ def _occ_from_cols(rowsT, tail_len, sample):
     c_c = count2(lo_bits)
     c_g = count2(jnp.uint32(0xAAAAAAAA))
     c_t = count2(jnp.uint32(0xFFFFFFFF))
-    return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=0)
+    base_dollar = block0 * sample - base_acgt.sum(axis=0)
+    acgt = base_acgt + jnp.stack([c_a, c_c, c_g, c_t], axis=0)
+    return jnp.concatenate([(base_dollar + n_dollar)[None, :], acgt], axis=0)
 
 
-def occ_all_fused_T(planeT, length, i, tab=None):
-    """Transposed-plane occ: i int32 [Q] -> [5, Q] inclusive counts.
+def occ_all_fused_T(plane, length, i, tab=None):
+    """Row-gather occ over the fused [rows, ncols] plane:
+    i int32 [Q] -> [5, Q] inclusive counts.
 
-    planeT is [ncols, nblocks]; one take_along_axis along the lane axis
-    gathers the 17-high column per query (fast: sublane-contiguous copy),
-    then popcount/mask math runs on [·, Q] arrays."""
-    ncols = planeT.shape[0]
-    sample = _plane_sample(ncols)
+    ONE contiguous row gather per query (plane[idx] — the fastest gather
+    form on TPU), then full-width VPU popcount.  The block width s is
+    inferred from the plane's static column count."""
+    sample = _plane_sample(plane.shape[-1])
     pos = i + 1
     block0 = pos // sample
     block = block0 if tab is None else block0 + tab
-    idx = jnp.broadcast_to(block[None, :], (ncols, i.shape[0]))
-    rowsT = jnp.take_along_axis(planeT, idx, axis=1)
-    tail_len = pos - block0 * sample
-    return _occ_from_cols(rowsT, tail_len, sample)
+    rows = plane[block]  # [Q, ncols] single row gather
+    return _occ_from_rows(rows, block0, pos - block0 * sample, sample)
 
 
-def occ_all_fused_sharded_T(planeT_local, length, i, tab, bps, axis):
-    """Sharded transposed-plane occ: each device holds a contiguous COLUMN
-    range of the stacked plane; owners answer, a psum combines.  SURVEY §2.9
-    "index sharding" — no reference analog."""
-    ncols = planeT_local.shape[0]
-    sample = _plane_sample(ncols)
+def occ_all_fused(plane, length, i, tab=None):
+    """Row-gather occ with query-major output: i int32 [Q] -> [Q, 5]."""
+    return occ_all_fused_T(plane, length, i, tab).T
+
+
+def occ_all_fused_sharded_T(plane_local, length, i, tab, bps, axis):
+    """Sharded row-gather occ: each device holds a contiguous ROW range of
+    the (stacked fwd+rev) fused plane; every device answers the queries
+    whose global block row falls in its shard (others contribute zeros)
+    and a psum combines.  SURVEY §2.9 "index sharding" — no reference
+    analog.  Returns [5, Q]."""
+    sample = _plane_sample(plane_local.shape[-1])
     pos = i + 1
     block0 = pos // sample
     block = block0 if tab is None else block0 + tab
     local = block - jax.lax.axis_index(axis) * bps
     in_range = (local >= 0) & (local < bps)
-    idx = jnp.broadcast_to(
-        jnp.clip(local, 0, bps - 1)[None, :], (ncols, i.shape[0])
-    )
-    rowsT = jnp.take_along_axis(planeT_local, idx, axis=1)
-    tail_len = pos - block0 * sample
-    counts = _occ_from_cols(rowsT, tail_len, sample)
+    rows = plane_local[jnp.clip(local, 0, bps - 1)]
+    counts = _occ_from_rows(rows, block0, pos - block0 * sample, sample)
     counts = jnp.where(in_range[None, :], counts, 0)
     return jax.lax.psum(counts, axis)
 
@@ -349,53 +266,6 @@ def _update_left_T(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
     nlo = pb + lc
     nhi = pb + uc - 1
     return nlo, nhi, nrlo, nrhi
-
-
-def occ_all_packed(words, dollars, checkpoints, length, i, tab=None):
-    """popcount occ over 2-bit-packed words: i int32 [Q] -> [Q, 5] int32.
-
-    Each query gathers 8 symbol words + 4 '$'-mask words + 1 checkpoint row
-    (68 bytes) instead of a 128-byte tail row; counting is
-    lax.population_count on the VPU.
-    """
-    popcount = jax.lax.population_count
-    pos = i + 1
-    block0 = pos // SAMPLE
-    block = block0 if tab is None else block0 + tab
-    base = checkpoints[block]
-    w = words[block].astype(jnp.uint32)  # [Q, 8]
-    d = dollars[block].astype(jnp.uint32)  # [Q, 4]
-    tail_len = (pos - block0 * SAMPLE).astype(jnp.uint32)  # 0..SAMPLE
-
-    # per-word valid-symbol masks
-    widx = jnp.arange(_NWORDS, dtype=jnp.uint32) * 16
-    valid = jnp.clip(
-        tail_len[..., None].astype(jnp.int32) - widx[None, :].astype(jnp.int32), 0, 16
-    ).astype(jnp.uint32)
-    full = valid == 16
-    wmask = jnp.where(full, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1)
-
-    didx = jnp.arange(_NDWORDS, dtype=jnp.uint32) * 32
-    dvalid = jnp.clip(
-        tail_len[..., None].astype(jnp.int32) - didx[None, :].astype(jnp.int32), 0, 32
-    ).astype(jnp.uint32)
-    dfull = dvalid == 32
-    dmask = jnp.where(dfull, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << dvalid) - 1)
-
-    n_dollar = popcount(d & dmask).sum(axis=-1).astype(jnp.int32)
-
-    lo_bits = jnp.uint32(0x55555555)
-
-    def count2(pattern):
-        x = w ^ pattern
-        matched = ~(x | (x >> 1)) & lo_bits
-        return popcount(matched & wmask).sum(axis=-1).astype(jnp.int32)
-
-    c_a = count2(jnp.uint32(0x00000000)) - n_dollar  # '$' packs as 0
-    c_c = count2(lo_bits)
-    c_g = count2(jnp.uint32(0xAAAAAAAA))
-    c_t = count2(jnp.uint32(0xFFFFFFFF))
-    return base + jnp.stack([n_dollar, c_a, c_c, c_g, c_t], axis=-1)
 
 
 def update_left_core(lo, hi, rlo, rhi, c, l_counts, u_counts, pred):
@@ -460,7 +330,7 @@ def _pack_bits32(flags):
 
 def _scan_packed_core(
     max_t, lim_t, min_overlap, cap, fcap, fwd_groups, rev_groups, occ_shard,
-    planeT, pred, length, nblocks,
+    plane, pred, length, nblocks,
     la_words, lens,
 ):
     """Stage-A scan over 2-bit packed reads: the production overlap kernel.
@@ -531,12 +401,12 @@ def _scan_packed_core(
 
     if occ_shard is None:
         def occ(i, tabs):
-            return occ_all_fused_T(planeT, length, i, tabs)
+            return occ_all_fused_T(plane, length, i, tabs)
     else:
         bps, axis = occ_shard
 
         def occ(i, tabs):
-            return occ_all_fused_sharded_T(planeT, length, i, tabs, bps, axis)
+            return occ_all_fused_sharded_T(plane, length, i, tabs, bps, axis)
 
     c0 = charsT[max_t]  # charsT[T] holds s'[l-1]
     lo0 = pred[c0]
@@ -645,7 +515,7 @@ def _build_sharded_scan(mesh, axis, statics):
     fn = shard_map(
         core,
         mesh=mesh,
-        in_specs=(P(None, axis), P(), P(), P(), P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P(), P()),
         check_rep=False,
     )
@@ -820,22 +690,22 @@ class DualScanner:
         self.nblocks = dfwd.nblocks
         self.fwd_groups = tuple(fwd_groups)
         self.rev_groups = tuple(rev_groups)
-        plane = jnp.concatenate([dfwd.occ_planeT, drev.occ_planeT], axis=1)
+        plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
         self.pred = dfwd.pred
         self.mesh = mesh
         self._occ_shard = None
         self._sharded_fns = {}
         if mesh is not None and shard_index:
             # SA-range index sharding: 1/D of the stacked plane's block
-            # columns per device (capacity mode for >HBM indexes); reads
+            # rows per device (capacity mode for >HBM indexes); reads
             # replicated.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             ndev = mesh.shape["data"]
-            rows = int(plane.shape[1])
+            rows = int(plane.shape[0])
             pad = (-rows) % ndev
-            plane = jnp.pad(plane, ((0, 0), (0, pad)))
-            plane = jax.device_put(plane, NamedSharding(mesh, P(None, "data")))
+            plane = jnp.pad(plane, ((0, pad), (0, 0)))
+            plane = jax.device_put(plane, NamedSharding(mesh, P("data", None)))
             self.pred = jax.device_put(self.pred, NamedSharding(mesh, P()))
             self._occ_shard = ((rows + pad) // ndev, "data")
             repl = NamedSharding(mesh, P())

@@ -57,11 +57,11 @@ def test_sharded_fm_occ_matches_host():
     dfm = DeviceFM(fmi)
     mesh = data_mesh(8)
     ndev = 8
-    planeT = dfm.occ_planeT
-    pad = (-int(planeT.shape[1])) % ndev
-    planeT = jnp.pad(planeT, ((0, 0), (0, pad)))
-    planeT = jax.device_put(planeT, NamedSharding(mesh, P(None, "data")))
-    bps = int(planeT.shape[1]) // ndev
+    plane = dfm.occ_plane
+    pad = (-int(plane.shape[0])) % ndev
+    plane = jnp.pad(plane, ((0, pad), (0, 0)))
+    plane = jax.device_put(plane, NamedSharding(mesh, P("data", None)))
+    bps = int(plane.shape[0]) // ndev
 
     qs = np.array([-1, 0, 1, 37, 128, 129, 400, fmi.length - 1], dtype=np.int64)
 
@@ -70,11 +70,11 @@ def test_sharded_fm_occ_matches_host():
             plane, fmi.length, i, None, bps, "data"
         ),
         mesh=mesh,
-        in_specs=(P(None, "data"), P()),
+        in_specs=(P("data", None), P()),
         out_specs=P(),
         check_rep=False,
     )
-    got = np.asarray(jax.jit(fn)(planeT, jnp.asarray(qs, jnp.int32))).T
+    got = np.asarray(jax.jit(fn)(plane, jnp.asarray(qs, jnp.int32))).T
     want = fmi.occ_all(qs)
     assert np.array_equal(got, want)
 
@@ -100,11 +100,11 @@ def test_index_sharded_scan_matches_replicated():
     dfwd, drev = DeviceFM(fmi), DeviceFM(rfmi)
     sharded = DualScanner(dfwd, drev, mesh, shard_index=True)
     # the plane really is partitioned: each device holds ~1/8 of the block
-    # columns (transposed [ncols, nblocks] layout)
+    # rows (row-major [rows, ncols] layout)
     shards = sharded.plane.addressable_shards
     assert len({s.device for s in shards}) == 8
-    total_cols = sharded.plane.shape[1]
-    assert all(s.data.shape[1] == total_cols // 8 for s in shards)
+    total_rows = sharded.plane.shape[0]
+    assert all(s.data.shape[0] == total_rows // 8 for s in shards)
 
     n = -(-len(records) // 8) * 8  # lane bucket divisible by the mesh
     maxlen = 64

@@ -142,21 +142,27 @@ def test_device_index_arrays_match_host():
     assert host[2] == dev[2]
 
 
-def test_occ_from_cols_matches_occ_from_rows():
-    """ADVICE r2: the transposed-plane popcount math (_occ_from_cols) must
-    stay in lockstep with the row-major form (_occ_from_rows) — random
-    planes, every tail length class."""
+def test_fused_plane_occ_matches_host():
+    """The row-gather fused-plane occ (the scan's occ primitive, including
+    the derived '$' checkpoint column) must agree with the host FM-index at
+    every position class: -1, block boundaries, mid-block, end."""
     import jax.numpy as jnp
 
-    from siga_tpu.ops.fm_device import PLANE_COLS, _occ_from_cols, _occ_from_rows
+    from siga_tpu.ops.fm_device import DeviceFM, occ_all_fused_T
 
-    rng = np.random.default_rng(5)
-    q = 64
-    rows = jnp.asarray(rng.integers(0, 2**31 - 1, (q, PLANE_COLS), dtype=np.int32))
-    tails = jnp.asarray(
-        np.concatenate([[0, 1, 31, 32, 33, 127, 128], rng.integers(0, 129, q - 7)])
-        .astype(np.int32)
-    )
-    want = np.asarray(_occ_from_rows(rows, tails, 128))
-    got = np.asarray(_occ_from_cols(rows.T, tails, 128)).T
+    rng = RInt(5)
+    reads = random_reads(rng, 24, lo=20, hi=70)
+    bwt_codes, _perm, ns = sa.build_index_arrays(reads)
+    index = fm.FMIndex(bwt_codes, ns)
+    dfm = DeviceFM(index)
+    n = index.length
+    rng2 = np.random.default_rng(5)
+    qs = np.concatenate(
+        [[-1, 0, 1, 31, 32, 127, 128, 129, n - 2, n - 1],
+         rng2.integers(0, n, 54)]
+    ).astype(np.int32)
+    got = np.asarray(
+        occ_all_fused_T(dfm.occ_plane, n, jnp.asarray(qs), None)
+    ).T
+    want = index.occ_all(qs.astype(np.int64))
     assert np.array_equal(got, want)
