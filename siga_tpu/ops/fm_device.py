@@ -47,20 +47,15 @@ class DeviceFM:
         # '$' packs as 0 (alias of A) and is corrected via the mask plane.
         sym = padded.reshape(nblocks, sample).astype(np.uint32)
         two_bit = np.where(sym == 0, 0, sym - 1)  # $->0(A), A..T -> 0..3
-        shifts = (2 * (np.arange(sample) % 16)).astype(np.uint32)
-        words = np.zeros((nblocks, sample // 16), dtype=np.uint32)
-        np.add.at(
-            words,
-            (np.arange(nblocks)[:, None], np.arange(sample)[None, :] // 16),
-            two_bit << shifts[None, :],
-        )
-        dollar = np.zeros((nblocks, sample // 32), dtype=np.uint32)
+        shifts16 = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+        words = (
+            two_bit.reshape(nblocks, sample // 16, 16) << shifts16
+        ).sum(axis=2, dtype=np.uint32)
         dbit = (sym == 0).astype(np.uint32)
-        np.add.at(
-            dollar,
-            (np.arange(nblocks)[:, None], np.arange(sample)[None, :] // 32),
-            dbit << (np.arange(sample) % 32).astype(np.uint32),
-        )
+        shifts32 = np.arange(32, dtype=np.uint32)[None, None, :]
+        dollar = (
+            dbit.reshape(nblocks, sample // 32, 32) << shifts32
+        ).sum(axis=2, dtype=np.uint32)
         if sample == SAMPLE:
             ckpt = np.asarray(host.checkpoints, dtype=np.int32)
         else:

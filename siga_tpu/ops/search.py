@@ -208,15 +208,13 @@ def _batch_overlap_ordered(
 
             mesh = data_mesh()
     fmi, rfmi = builder.fmi, builder.rfmi
-    dfwd = DeviceFM(fmi)
-    drev = DeviceFM(rfmi)
     from .fm_device import GROUP_COMP, GROUP_ID, GROUP_RC, GROUP_REV
 
     if builder.rc:
         fwd_groups, rev_groups = (GROUP_ID, GROUP_RC), (GROUP_REV, GROUP_COMP)
     else:
         fwd_groups, rev_groups = (GROUP_ID,), (GROUP_REV,)
-    scanner = DualScanner(dfwd, drev, mesh, fwd_groups, rev_groups)
+    scanner = _cached_scanner(builder, mesh, fwd_groups, rev_groups)
 
     # fixed shapes across chunks: one compile serves the whole run; chunk
     # size rounds up to the mesh size so sharded lane counts divide evenly
@@ -380,6 +378,24 @@ class _LazyHit(Hit):
         return "".join(parts)
 
 
+def _cached_scanner(builder, mesh, fwd_groups, rev_groups) -> DualScanner:
+    """DualScanner (and its DeviceFM plane uploads) cached on the builder:
+    a fresh scanner per batch_overlap_hits call would re-pack and re-upload
+    the FM planes every engine pass (~0.5 s/Mchar of index on this host)."""
+    key = (id(mesh), fwd_groups, rev_groups)
+    cache = getattr(builder, "_scanners", None)
+    if cache is None:
+        cache = builder._scanners = {}
+    scanner = cache.get(key)
+    if scanner is None:
+        dfms = getattr(builder, "_dfms", None)
+        if dfms is None:
+            dfms = builder._dfms = (DeviceFM(builder.fmi), DeviceFM(builder.rfmi))
+        scanner = DualScanner(dfms[0], dfms[1], mesh, fwd_groups, rev_groups)
+        cache[key] = scanner
+    return scanner
+
+
 def _native_chunk_processor(builder):
     if getattr(builder, "_native_chunk", False) is False:
         from .. import native
@@ -459,9 +475,7 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
     fmi, rfmi = builder.fmi, builder.rfmi
     from .fm_device import GROUP_COMP, GROUP_ID
 
-    scanner = DualScanner(
-        DeviceFM(fmi), DeviceFM(rfmi), mesh, (GROUP_ID,), (GROUP_COMP,)
-    )
+    scanner = _cached_scanner(builder, mesh, (GROUP_ID,), (GROUP_COMP,))
 
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
     chunk_reads = min(CHUNK_READS, max(64, len(records)))
