@@ -76,7 +76,7 @@ def _stage_breakdown(builder, records, min_overlap):
     )
     from siga_tpu.ops.search import (
         _bucket_len, _bucket_reads, _final8_from_cands,
-        _native_chunk_processor, _with_probe,
+        _native_chunk_processor,
     )
 
     fmi, rfmi = builder.fmi, builder.rfmi
@@ -84,7 +84,7 @@ def _stage_breakdown(builder, records, min_overlap):
         DeviceFM(fmi), DeviceFM(rfmi), None,
         (GROUP_ID, GROUP_RC), (GROUP_REV, GROUP_COMP),
     )
-    chunk_reads = min(search_mod.CHUNK_READS, max(64, len(records)))
+    chunk_reads = search_mod.chunk_size(len(records))
     starts = list(range(0, len(records), chunk_reads))
     proc = _native_chunk_processor(builder)
     tm = {"pack": 0.0, "scan": 0.0, "ship": 0.0, "prep": 0.0, "native": 0.0}
@@ -102,14 +102,16 @@ def _stage_breakdown(builder, records, min_overlap):
             jax.block_until_ready(la_d)
             tm["pack"] += time.time() - t0
 
+            from siga_tpu.ops.fm_device import _granule
+
             max_t = maxlen - 1
             lim_t = min(max_t, -(-(int(lens.max()) - 1) // 8) * 8)
             num_lanes = n_bucket * 4
             cap, fcap = scanner._cap, num_lanes
             if scanner._kb == 0:
-                scanner._kb = 8192 * 8
+                scanner._kb = _granule(6 * n_bucket, 8192)
             if scanner._kc == 0:
-                scanner._kc = 4096 * 6
+                scanner._kc = _granule(2 * n_bucket + n_bucket // 8, 4096)
             kb, kc = min(scanner._kb, cap), min(scanner._kc, fcap)
 
             t0 = time.time()
@@ -128,8 +130,6 @@ def _stage_breakdown(builder, records, min_overlap):
             f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
             r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
             nb = len(f_sub) // 2
-            f_data = _with_probe(fmi, f_data)
-            r_data = _with_probe(rfmi, r_data)
             num_lanes2 = 2 * nb
             lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
             f_starts = np.searchsorted(f_lane, np.arange(num_lanes2 + 1))

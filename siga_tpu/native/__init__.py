@@ -233,11 +233,15 @@ class NativeChunkProcessor:
         def prep(scan):
             starts, t, data, final, lext = scan
             return (
-                np.ascontiguousarray(starts.astype(np.int64)),
-                np.ascontiguousarray(t.astype(np.int64)),
-                np.ascontiguousarray(data.astype(np.int64).reshape(-1)),
-                np.ascontiguousarray(final.astype(np.int64).reshape(-1)),
-                np.ascontiguousarray(lext.astype(np.uint8)),
+                np.ascontiguousarray(starts.astype(np.int64, copy=False)),
+                np.ascontiguousarray(t.astype(np.int64, copy=False)),
+                np.ascontiguousarray(
+                    data.astype(np.int64, copy=False).reshape(-1)
+                ),
+                np.ascontiguousarray(
+                    final.astype(np.int64, copy=False).reshape(-1)
+                ),
+                np.ascontiguousarray(lext.astype(np.uint8, copy=False)),
             )
 
         f = prep(f_scan)
@@ -272,10 +276,12 @@ class NativeChunkProcessor:
             if total >= 0:
                 break
             cap *= 4
-        out = []
-        off = 0
-        for i in range(n_reads):
-            k = int(out_counts[i])
-            out.append(out_blocks[off : off + k * 10].reshape(k, 10).copy())
-            off += k * 10
+        # per-read VIEWS into the flat output buffer (numpy views hold the
+        # base alive); 10k small .copy() calls cost ~20 ms/chunk on this host
+        offs = np.zeros(n_reads + 1, dtype=np.int64)
+        np.cumsum(out_counts, out=offs[1:])
+        out = [
+            out_blocks[offs[i] * 10 : offs[i + 1] * 10].reshape(-1, 10)
+            for i in range(n_reads)
+        ]
         return out, out_substring, out_failed

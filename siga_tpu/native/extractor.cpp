@@ -81,18 +81,41 @@ static inline int64_t occ(const Index& ix, int c, int64_t i) {
   return all[c];
 }
 
+// count of '$' at positions <= i without the 4-symbol popcount work
+static inline int64_t occ_dollar(const Index& ix, int64_t i) {
+  const int64_t pos = i + 1;
+  const int64_t block = pos >> 6;
+  const int64_t tail = pos & 63;
+  const uint64_t dmask = (tail == 64) ? ~0ULL : ((1ULL << tail) - 1);
+  return ix.ckpt[block * 5] +
+         (int64_t)__builtin_popcountll(ix.dollars[block] & dmask);
+}
+
 struct Block {
   int64_t v[REC];
   int64_t l[5], u[5];  // cached occ counts at (rlo-1, rhi) for this round
   bool tr, qc;
 };
 
+// stable insertion sort for the tiny per-read block lists (std::stable_sort
+// allocates a merge buffer per call; lists here are ~2-16 blocks)
+template <typename It, typename Less>
+static inline void stable_insertion_sort(It first, It last, Less less) {
+  for (It i = first; i != last; ++i) {
+    It j = i;
+    while (j != first && less(*i, *(j - 1))) --j;
+    if (j != i) {
+      auto tmp = std::move(*i);
+      std::move_backward(j, i, i + 1);
+      *j = std::move(tmp);
+    }
+  }
+}
+
 static inline void fill_counts(Block& b, const Index& fwd, const Index& rev) {
   const Index& ix = b.tr ? fwd : rev;
-  for (int c = 0; c < 5; ++c) {
-    b.l[c] = occ(ix, c, b.v[2] - 1);
-    b.u[c] = occ(ix, c, b.v[3]);
-  }
+  occ_all(ix, b.v[2] - 1, b.l);
+  occ_all(ix, b.v[3], b.u);
 }
 
 static inline void ext_counts(const Block& b, int64_t* e) {
@@ -134,9 +157,17 @@ static bool run_task(const int64_t* in_blocks, int64_t n_in, const Index& fwd,
     init[i].qc = (init[i].v[9] >> QUERYCOMP_BIT) & 1;
   }
   // stable sort by descending length
-  std::stable_sort(init.begin(), init.end(),
-                   [](const Block& a, const Block& b) { return a.v[8] > b.v[8]; });
+  stable_insertion_sort(init.begin(), init.end(),
+                          [](const Block& a, const Block& b) { return a.v[8] > b.v[8]; });
 
+  thread_local std::vector<std::vector<Block>> pool;
+  auto acquire = [&]() {
+    if (pool.empty()) return std::vector<Block>();
+    auto v = std::move(pool.back());
+    pool.pop_back();
+    v.clear();
+    return v;
+  };
   std::vector<std::vector<Block>> groups;
   groups.push_back(std::move(init));
 
@@ -181,16 +212,18 @@ static bool run_task(const int64_t* in_blocks, int64_t n_in, const Index& fwd,
           for (int c = 0; c < 5; ++c)
             if (exts[c] > 0) { ++nonzero; only = c; }
           if (nonzero == 1) {
-            std::vector<Block> keep;
-            keep.reserve(blocklist.size());
+            size_t w = 0;
             for (auto& b : blocklist)
-              if (update_right(b, only, fwd, rev)) keep.push_back(b);
-            blocklist.swap(keep);
+              if (update_right(b, only, fwd, rev)) {
+                if (w != (size_t)(&b - blocklist.data())) blocklist[w] = b;
+                ++w;
+              }
+            blocklist.resize(w);
             erase_group = false;
           } else {
             for (int c = 0; c < 5; ++c) {
               if (exts[c] <= 0) continue;
-              std::vector<Block> branched;
+              auto branched = acquire();
               branched.reserve(blocklist.size());
               for (const auto& b : blocklist) {
                 Block nb = b;
@@ -202,6 +235,7 @@ static bool run_task(const int64_t* in_blocks, int64_t n_in, const Index& fwd,
         }
       }
       if (erase_group) {
+        pool.push_back(std::move(groups[gi]));
         groups.erase(groups.begin() + gi);
         gi += 1;  // reference loop skips the group after an erase
       } else {
@@ -392,8 +426,8 @@ static void resolve_blocks(const Block& x, const Block& y, const Index& fmi,
 static void submaximal_filter(BlockList* blocks, const Index& fmi,
                               const Index& rfmi) {
   if (blocks->empty()) return;
-  std::stable_sort(blocks->begin(), blocks->end(),
-                   [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
+  stable_insertion_sort(blocks->begin(), blocks->end(),
+                          [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
   size_t prev = 0;
   while (prev + 1 < blocks->size()) {
     size_t curr = prev + 1;
@@ -402,8 +436,8 @@ static void submaximal_filter(BlockList* blocks, const Index& fmi,
     if (intersecting(x.v[0], x.v[1], y.v[0], y.v[1])) {
       BlockList resolved;
       resolve_blocks(x, y, fmi, rfmi, &resolved);
-      std::stable_sort(resolved.begin(), resolved.end(),
-                       [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
+      stable_insertion_sort(resolved.begin(), resolved.end(),
+                              [](const Block& a, const Block& b) { return a.v[0] < b.v[0]; });
       blocks->erase(blocks->begin() + curr);
       blocks->erase(blocks->begin() + prev);
       // stable merge keeps sorted order
@@ -427,6 +461,27 @@ static void submaximal_filter(BlockList* blocks, const Index& fmi,
 static inline Block make_block(const int64_t* data8, int64_t length, int af) {
   Block b;
   for (int i = 0; i < 8; ++i) b.v[i] = data8[i];
+  b.v[8] = length;
+  b.v[9] = af;
+  b.tr = (af >> TARGETREV_BIT) & 1;
+  b.qc = (af >> QUERYCOMP_BIT) & 1;
+  return b;
+}
+
+// Block from a raw 4-col scan record (lo, hi, rlo, rhi); the capped
+// '$'-probe pair is the closed form plo = occ_$(lo-1), phi = occ_$(hi)-1,
+// prlo = rlo, prhi = rlo + psize - 1 (ops/search.py::_with_probe moved
+// native so the Python hot path skips a per-chunk searchsorted pass).
+static inline Block make_block4(const int64_t* d4, int64_t length, int af,
+                                const Index& own) {
+  Block b;
+  const int64_t l0 = occ_dollar(own, d4[0] - 1);
+  const int64_t u0 = occ_dollar(own, d4[1]);
+  b.v[0] = l0;
+  b.v[1] = u0 - 1;
+  b.v[2] = d4[2];
+  b.v[3] = d4[2] + (u0 - l0) - 1;
+  for (int i = 0; i < 4; ++i) b.v[4 + i] = d4[i];
   b.v[8] = length;
   b.v[9] = af;
   b.tr = (af >> TARGETREV_BIT) & 1;
@@ -475,8 +530,10 @@ static bool containment_for_lane(const int64_t* final8, uint8_t lext_has_dna,
 
 extern "C" {
 
-// Process a chunk of reads end-to-end (stages B+C).  Returns total emitted
-// int64s or -1 if out_cap insufficient.
+// Process a chunk of reads end-to-end (stages B+C).  Block data arrives as
+// raw 4-col records (lo, hi, rlo, rhi); the capped '$'-probe pair derives
+// in make_block4.  Returns total emitted int64s or -1 if out_cap
+// insufficient.
 int64_t siga_process_chunk(
     int64_t n_reads, const int64_t* read_lens, int rc, int irreducible,
     // lext_precomputed: the per-lane lext flags already include the other
@@ -509,19 +566,23 @@ int64_t siga_process_chunk(
   for (int64_t k = 0; k < n_reads; ++k) {
     int64_t seqlen = read_lens[k];
     bool substring = false;
-    BlockList suffixfwd, suffixrev, prefixfwd, prefixrev, containfwd, containrev;
+    // reused per-thread lists: fresh vectors per read cost ~6 allocs/read
+    thread_local BlockList suffixfwd, suffixrev, prefixfwd, prefixrev,
+        containfwd, containrev;
+    suffixfwd.clear(); suffixrev.clear(); prefixfwd.clear();
+    prefixrev.clear(); containfwd.clear(); containrev.clear();
 
     auto load_lane = [&](const int64_t* starts, const int64_t* t,
                          const int64_t* data, int64_t lane, int af,
-                         BlockList* out_list) {
+                         const Index& own, BlockList* out_list) {
       for (int64_t i = starts[lane]; i < starts[lane + 1]; ++i)
-        out_list->push_back(make_block(data + i * 8, t[i] + 1, af));
+        out_list->push_back(make_block4(data + i * 4, t[i] + 1, af, own));
     };
-    load_lane(f_starts, f_t, f_data, k, AF_SP, &suffixfwd);
-    load_lane(r_starts, r_t, r_data, k, AF_PS, &prefixrev);
+    load_lane(f_starts, f_t, f_data, k, AF_SP, fwd, &suffixfwd);
+    load_lane(r_starts, r_t, r_data, k, AF_PS, rev, &prefixrev);
     if (rc) {
-      load_lane(f_starts, f_t, f_data, lane_stride + k, AF_PP, &prefixfwd);
-      load_lane(r_starts, r_t, r_data, lane_stride + k, AF_SS, &suffixrev);
+      load_lane(f_starts, f_t, f_data, lane_stride + k, AF_PP, fwd, &prefixfwd);
+      load_lane(r_starts, r_t, r_data, lane_stride + k, AF_SS, rev, &suffixrev);
     }
 
     Block cb;
@@ -549,10 +610,9 @@ int64_t siga_process_chunk(
     submaximal_filter(&suffixrev, rev, fwd);
     submaximal_filter(&prefixrev, rev, fwd);
     auto drop_full = [&](BlockList* l) {
-      BlockList keep;
-      keep.reserve(l->size());
-      for (auto& b : *l) if (b.v[8] != seqlen) keep.push_back(b);
-      l->swap(keep);
+      l->erase(std::remove_if(l->begin(), l->end(),
+                              [&](const Block& b) { return b.v[8] == seqlen; }),
+               l->end());
     };
     drop_full(&suffixfwd);
     drop_full(&prefixfwd);
@@ -570,7 +630,8 @@ int64_t siga_process_chunk(
     bool failed = false;
     if (irreducible) {
       auto run_list = [&](BlockList& list) {
-        std::vector<int64_t> flat(list.size() * REC);
+        thread_local std::vector<int64_t> flat;
+        flat.resize(list.size() * REC);
         for (size_t i = 0; i < list.size(); ++i)
           std::memcpy(flat.data() + i * REC, list[i].v, sizeof(list[i].v));
         if (!run_task(flat.data(), (int64_t)list.size(), fwd, rev, &out))

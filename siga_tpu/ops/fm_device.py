@@ -638,7 +638,7 @@ def pack_reads_2bit(seqs, n: int, maxlen: int):
     real_lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
     lens[: len(seqs)] = np.maximum(real_lens, 1)
     flat = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)
-    enc = dna.RANK_LUT[flat].astype(np.uint32)
+    enc = dna.RANK_LUT[flat]
     if enc.size and enc.min() == 0:
         # rank 0 would underflow the 2-bit packing and carry-corrupt the
         # whole containing word; the device engine only handles pure
@@ -648,15 +648,21 @@ def pack_reads_2bit(seqs, n: int, maxlen: int):
             "first or use --engine=host"
         )
     codes = enc - 1
-    # scatter each read's codes into its left-aligned row (the right-aligned
-    # view is derived on device, _scan_packed_v2)
-    total = int(real_lens.sum())
-    row = np.repeat(np.arange(len(seqs), dtype=np.int64), real_lens)
-    intra = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(real_lens, dtype=np.int64) - real_lens, real_lens
-    )
     la = np.zeros((n, maxlen), dtype=np.uint32)
-    la[row, intra] = codes
+    if real_lens.size and int(real_lens.min()) == int(real_lens.max()):
+        # uniform read length (the common short-read case): one reshape copy
+        # instead of a total-bases fancy scatter (~7x less host time/chunk)
+        L = int(real_lens[0])
+        la[: len(seqs), :L] = codes.reshape(len(seqs), L)
+    else:
+        # scatter each read's codes into its left-aligned row (the
+        # right-aligned view is derived on device, _scan_packed_v2)
+        total = int(real_lens.sum())
+        row = np.repeat(np.arange(len(seqs), dtype=np.int64), real_lens)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(real_lens, dtype=np.int64) - real_lens, real_lens
+        )
+        la[row, intra] = codes
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
     w = maxlen // 16
     la_w = (la.reshape(n, w, 16) << shifts).sum(axis=2, dtype=np.uint32)

@@ -28,7 +28,7 @@ from ..overlap.builder import (
 )
 from .fm_device import DeviceFM, DualScanner
 
-CHUNK_READS = 8192
+CHUNK_READS = 16384
 
 
 def _bucket_len(n_chars: int) -> int:
@@ -38,14 +38,32 @@ def _bucket_len(n_chars: int) -> int:
 
 
 def _bucket_reads(n: int, chunk_reads: int, ndev: int) -> int:
-    """Lane-count bucket for a (tail) chunk: pow2 from 1024 up to the chunk
-    width, rounded to the mesh size so sharded lanes divide evenly."""
-    b = 1024
-    while b < n:
-        b *= 2
+    """Lane-count bucket for a (tail) chunk: pow2 up to 2048, then multiples
+    of 2048 (the XLA row gather has a large fixed per-call cost, so one big
+    tight chunk beats pow2-padded chunks), rounded to the mesh size so
+    sharded lanes divide evenly."""
+    if n <= 1024:
+        b = 1024
+    else:
+        b = -(-n // 1024) * 1024
     b = min(b, chunk_reads)
     b += (-b) % max(ndev, 1)
     return max(b, n)
+
+
+def chunk_size(n_rec: int, ndev: int = 1) -> int:
+    """Engine chunking policy: smallish equal chunks with deep lookahead.
+
+    A dispatch containing gathers costs ~23 ms of (fully pipelinable)
+    latency on this backend while its actual device work is ~2-3 ms, so many
+    in-flight chunks hide the latency and the host stage-B/C runs
+    concurrently with the device stream."""
+    chunk_reads = min(CHUNK_READS, max(64, n_rec))
+    if n_rec > 2048:
+        n_chunks = max(-(-n_rec // CHUNK_READS), min(8, -(-n_rec // 1024)))
+        chunk_reads = -(-n_rec // n_chunks)
+    chunk_reads += (-chunk_reads) % max(ndev, 1)
+    return chunk_reads
 
 
 def _pack_lanes(seqs: Sequence[str], num_lanes: int, maxlen: int):
@@ -219,8 +237,7 @@ def _batch_overlap_ordered(
     # fixed shapes across chunks: one compile serves the whole run; chunk
     # size rounds up to the mesh size so sharded lane counts divide evenly
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    chunk_reads = min(CHUNK_READS, max(64, len(records)))
-    chunk_reads += (-chunk_reads) % max(ndev, 1)
+    chunk_reads = chunk_size(len(records), ndev)
 
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
@@ -239,7 +256,7 @@ def _batch_overlap_ordered(
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
-    LOOKAHEAD = 2  # chunks in flight: device runs ahead of host processing
+    LOOKAHEAD = 8  # chunks in flight: dispatch latency pipelines on device
     inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
 
     for ci, start in enumerate(starts):
@@ -250,12 +267,12 @@ def _batch_overlap_ordered(
         f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
         r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
         n = len(f_sub) // (2 if builder.rc else 1)  # lane bucket of the chunk
-        f_data = _with_probe(fmi, f_data)
-        r_data = _with_probe(rfmi, r_data)
         num_lanes = 2 * n if builder.rc else n
 
         proc = _native_chunk_processor(builder)
         if proc is not None:
+            # native consumes the raw 4-col records; the '$'-probe pair
+            # derives in C++ (make_block4)
             lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
             f_starts = np.searchsorted(f_lane, np.arange(num_lanes + 1))
             r_starts = np.searchsorted(r_lane, np.arange(num_lanes + 1))
@@ -273,6 +290,8 @@ def _batch_overlap_ordered(
                 yield _LazyHit(start + k, bool(substr[k]), outs[k])
             continue
 
+        f_data = _with_probe(fmi, f_data)
+        r_data = _with_probe(rfmi, r_data)
         f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
         r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
         f_contain = _Containments(f_cl, f_cr, f_sub, rfmi)
@@ -478,8 +497,7 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
     scanner = _cached_scanner(builder, mesh, (GROUP_ID,), (GROUP_COMP,))
 
     ndev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
-    chunk_reads = min(CHUNK_READS, max(64, len(records)))
-    chunk_reads += (-chunk_reads) % max(ndev, 1)
+    chunk_reads = chunk_size(len(records), ndev)
 
     def dispatch(start):
         chunk = records[start : start + chunk_reads]
@@ -491,7 +509,7 @@ def batch_duplicate_hits(builder: OverlapBuilder, records, mesh=None):
         return chunk, h
 
     starts = list(range(0, len(records), chunk_reads))
-    LOOKAHEAD = 2
+    LOOKAHEAD = 8
     inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
 
     for ci, start in enumerate(starts):
