@@ -104,51 +104,48 @@ def suffix_array_jax(codes: np.ndarray) -> np.ndarray:
     n_real = int(codes.size)
     if n_real <= 1:
         return np.arange(n_real, dtype=np.int64)
-    rounds = _sa_rounds(_max_span(codes))
+    rounds = _sa_rounds_v3(_max_span(codes))
     n = _pad_size(n_real)
-    order = _sa_build_v2(rounds, n, jnp.asarray(_pad_codes(codes, n)[None, :]))
+    order = _sa_build_v3(rounds, n, jnp.asarray(_pad_codes(codes, n)[None, :]))
     out = np.asarray(order[0], dtype=np.int64)
     return out[:n_real] if n > n_real else out
 
 
 from functools import partial as _partial
 
-GRAM = 16  # seeding width: one 2-word-key sort ranks 16-symbol prefixes
 _PAD_SYM = 7  # padding symbol, sorts after every real rank
+GRAM3 = 64  # v3 seed width: 4 x 16-symbol 2-bit words + a sentinel-pos key
 
 
-def _sa_rounds(max_span: int) -> int:
-    """Doubling rounds after the GRAM-wide seed: ranks are distinct once
-    GRAM * 2^rounds >= the longest distance to the next sentinel."""
+def _sa_rounds_v3(max_span: int) -> int:
     r = 0
-    while (GRAM << r) < max_span:
+    while (GRAM3 << r) < max_span:
         r += 1
     return r
 
 
 @_partial(__import__("jax").jit, static_argnums=(0, 1))
-def _sa_build_v2(rounds, n, codes):
-    """Batched suffix sort: codes uint8 [B, n] (ranks 0..4, pad=_PAD_SYM) ->
-    suffix order int32 [B, n].  All int32 (x64 is off; TPU int64 is emulated).
+def _sa_build_v3(rounds, n, codes):
+    """64-symbol-gram seeded suffix sort: codes uint8 [B, n] (ranks 0..4,
+    pad=_PAD_SYM) -> suffix order int32 [B, n].
 
-    Round structure (all rows sorted together in each lax.sort call; payloads
-    ride the sort network instead of permutation gathers, which are
-    issue-rate-bound on TPU):
-      seed: one stable 2-key sort on the 16-symbol gram (3 bits/symbol,
-        10+6 symbols across two int32 words).  The gram zero-fills fields
-        after the first sentinel, so suffix comparisons the reference
-        resolves AT a sentinel (src/suffix_array_builder.cpp:579-592: '$'
-        ties break by text position) compare equal here; stability puts
-        them in position order (= sentinel-id order), and the has_term flag
-        forces distinct ranks for those (equal-gram runs are homogeneous: a
-        terminator gram always carries a 0 field, a pure-base gram never
-        does).
-      doubling: one 2-key (rank, next-rank) sort + one unsort per round —
-        the pairs tie exactly where the new rank ties, so neither sort needs
-        stability.
-      final round: ranks are distinct by construction, so the (rank,
-        next-rank) sort IS the suffix order — the unsort and the trailing
-        order-by-rank sort are skipped.
+    The seed ranks every suffix by its first 64 symbols in ONE sort:
+      * 2-bit symbol packing, big-endian within each of 4 uint32 key words
+        ($ and A both pack as 0; symbols at/after the suffix's first
+        sentinel are zero-masked, so comparisons the reference resolves AT
+        a '$' compare equal on the words);
+      * the tie between '$' and 'A' at the first divergence is broken by a
+        5th key, sentpos = distance to the suffix's first sentinel capped
+        at 64 (the suffix whose sentinel comes first is smaller, which is
+        exactly '$' < A; equal sentpos with equal words means equal
+        prefixes up to the sentinel, where reference '$'-ids break ties by
+        text position — the trailing idx key gives exactly that);
+      * pad suffixes get sentpos 65 and all-ones words so they sort after
+        every real suffix (an all-T real gram ties but wins by idx).
+    Suffixes with a sentinel inside the gram (sentpos != 64) are fully
+    resolved and take distinct ranks; only pure-base 64-grams continue into
+    prefix doubling, so reads up to 128bp need a single doubling round
+    (vs 3 with the 16-symbol seed).
     """
     import jax
     import jax.numpy as jnp
@@ -157,60 +154,82 @@ def _sa_build_v2(rounds, n, codes):
     sym = codes.astype(jnp.int32)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (B, n))
     pos = jnp.arange(n, dtype=jnp.int32)[None, :]
+    is_pad = sym == _PAD_SYM
 
-    g_hi = jnp.zeros((B, n), dtype=jnp.int32)
-    g_lo = jnp.zeros((B, n), dtype=jnp.int32)
-    alive = jnp.ones((B, n), dtype=bool)
-    has_term = jnp.zeros((B, n), dtype=bool)
-    for k in range(GRAM):
-        w = jnp.where(pos + k < n, jnp.roll(sym, -k, axis=-1), _PAD_SYM)
-        v = jnp.where(alive, w, 0)
-        if k < 10:
-            g_hi = (g_hi << 3) | v
-        else:
-            g_lo = (g_lo << 3) | v
-        has_term = has_term | (w == 0)
-        alive = alive & (w != 0)
-    needs_distinct = (has_term | (sym == _PAD_SYM)).astype(jnp.int32)
+    two = jnp.where(sym == 0, 0, jnp.where(is_pad, 3, sym - 1)).astype(jnp.uint32)
+    shifts = (30 - 2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    w16 = (two.reshape(B, n // 16, 16) << shifts).sum(axis=2, dtype=jnp.uint32)
+
+    big = jnp.int32(n + 64)
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(sym == 0, pos + jnp.zeros_like(sym), big),
+        reverse=True, axis=1,
+    )
+    sentpos = jnp.minimum(nxt - pos, 64)
+    sentpos = jnp.where(is_pad, 65, sentpos).astype(jnp.int32)
+
+    o = (pos & 15).astype(jnp.uint32)
+    keys = []
+    for j in range(4):
+        # Wa[p] = w16[p//16 + j], Wb the following word (wrap garbage at the
+        # padded tail is either masked by sentpos or overridden for pads)
+        wa = jnp.repeat(jnp.roll(w16, -j, axis=1), 16, axis=1)[:, :n]
+        wb = jnp.repeat(jnp.roll(w16, -(j + 1), axis=1), 16, axis=1)[:, :n]
+        w = jnp.where(o == 0, wa, (wa << (2 * o)) | (wb >> (32 - 2 * o)))
+        vj = jnp.clip(sentpos - 16 * j, 0, 16).astype(jnp.uint32)
+        mask = jnp.where(
+            vj == 0,
+            jnp.uint32(0),
+            jnp.uint32(0xFFFFFFFF) << (32 - 2 * jnp.minimum(vj, 16)),
+        )
+        keys.append(jnp.where(is_pad, jnp.uint32(0xFFFFFFFF), w & mask))
+
+    if n < (1 << 25):
+        # pack (sentpos, idx) into one uint32 tail key: 7+25 bits
+        key5 = (sentpos.astype(jnp.uint32) << 25) | idx.astype(jnp.uint32)
+        sorted_arrs = jax.lax.sort(tuple(keys) + (key5,), dimension=-1, num_keys=5)
+        k_s = sorted_arrs[:4]
+        sp_s = (sorted_arrs[4] >> 25).astype(jnp.int32)
+        idx_s = (sorted_arrs[4] & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+    else:
+        sorted_arrs = jax.lax.sort(
+            tuple(keys) + (sentpos, idx), dimension=-1, num_keys=6
+        )
+        k_s = sorted_arrs[:4]
+        sp_s, idx_s = sorted_arrs[4], sorted_arrs[5]
+    changed = (sp_s[:, 1:] != sp_s[:, :-1])
+    for k in k_s:
+        changed = changed | (k[:, 1:] != k[:, :-1])
+    boundary = jnp.concatenate(
+        [
+            jnp.zeros((B, 1), dtype=jnp.int32),
+            (changed | (sp_s[:, 1:] != 64)).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    new_rank = jnp.cumsum(boundary, axis=-1, dtype=jnp.int32)
+    if rounds == 0:
+        return idx_s
 
     def unsort(order, payload):
-        # back to position order: co-sort by the (distinct) position ids —
-        # no random scatter
         _, out = jax.lax.sort((order, payload), dimension=-1, num_keys=1)
         return out
 
-    def rank_sorted(b1, b2):
-        boundary = jnp.concatenate(
-            [jnp.zeros((B, 1), dtype=jnp.int32), (b1 | b2).astype(jnp.int32)],
-            axis=-1,
-        )
-        return jnp.cumsum(boundary, axis=-1, dtype=jnp.int32)
-
-    hi_s, lo_s, idx_s, nd_s = jax.lax.sort(
-        (g_hi, g_lo, idx, needs_distinct), dimension=-1, num_keys=2,
-        is_stable=True,
-    )
-    new_rank = rank_sorted(
-        (hi_s[:, 1:] != hi_s[:, :-1]) | (lo_s[:, 1:] != lo_s[:, :-1]),
-        nd_s[:, 1:] == 1,
-    )
     rank = unsort(idx_s, new_rank)
 
     def round_sort(r, rank):
-        h = jnp.asarray(GRAM, jnp.int32) << r
+        h = jnp.asarray(GRAM3, jnp.int32) << r
         key2 = jnp.where(pos + h < n, jnp.roll(rank, -h, axis=-1), -1)
         return jax.lax.sort((rank, key2, idx), dimension=-1, num_keys=2)
 
     def body(r, rank):
         r_s, k2_s, i_s = round_sort(r, rank)
-        new_rank = rank_sorted(
-            r_s[:, 1:] != r_s[:, :-1], k2_s[:, 1:] != k2_s[:, :-1]
+        b = (r_s[:, 1:] != r_s[:, :-1]) | (k2_s[:, 1:] != k2_s[:, :-1])
+        boundary = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype=jnp.int32), b.astype(jnp.int32)], axis=-1
         )
-        return unsort(i_s, new_rank)
+        return unsort(i_s, jnp.cumsum(boundary, axis=-1, dtype=jnp.int32))
 
-    if rounds == 0:
-        _, order = jax.lax.sort((rank, idx), dimension=-1, num_keys=1)
-        return order
     rank = jax.lax.fori_loop(0, rounds - 1, body, rank)
     _, _, order = round_sort(rounds - 1, rank)
     return order
@@ -246,27 +265,44 @@ def sai_perm_from_sa(sa: np.ndarray, starts: np.ndarray) -> np.ndarray:
 
 
 @_partial(__import__("jax").jit, static_argnums=(0, 1, 2, 3))
-def _sa_bwt_perm_v2(rounds, n, n_real, num_strings, codes, starts):
-    """Suffix sort + BWT/perm derivation in one device program: only BWT
-    bytes (1/char) and the read permutations cross the host link."""
+def _sa_bwt_perm_v3(rounds, n, n_real, num_strings, codes4):
+    """Suffix sort + BWT/perm derivation in one device program with packed
+    host-link IO: the text arrives 4-bit packed (2 chars/byte) and the BWT
+    leaves 4-bit packed; only the small perm rides as int32.
+
+    The .sai permutation derives without a searchsorted: a whole-read suffix
+    is exactly a position whose BWT char is '$' (sa==0 or codes[sa-1]==0),
+    and the read id of text position p is the number of sentinels before p.
+    """
+    import jax
     import jax.numpy as jnp
 
-    order = _sa_build_v2(rounds, n, codes)  # [B, n] int32
+    B = codes4.shape[0]
+    lo4 = (codes4 & 0xF).astype(jnp.uint8)
+    hi4 = (codes4 >> 4).astype(jnp.uint8)
+    codes = jnp.stack([lo4, hi4], axis=2).reshape(B, n)
+    order = _sa_build_v3(rounds, n, codes)  # [B, n] int32
     sa = order[:, :n_real]
     codes_real = codes[:, :n_real]
     prev = jnp.take_along_axis(codes_real, jnp.clip(sa - 1, 0, n_real - 1), axis=-1)
     bwt = jnp.where(sa == 0, jnp.uint8(0), prev)
-    # read-start membership and read ids via searchsorted against the small
-    # starts table (avoids a 4-byte/char read-id map on device)
-    B = codes.shape[0]
-    idx = jnp.searchsorted(starts, sa.reshape(-1)).reshape(B, n_real)
-    s = starts.shape[0]
-    hit = (idx < s) & (starts[jnp.clip(idx, 0, s - 1)] == sa)
-    # each row has exactly num_strings whole-read suffixes; row-major nonzero
-    # keeps rows contiguous and ascending
+    is_sent = (codes_real == 0).astype(jnp.int32)
+    rid = jnp.cumsum(is_sent, axis=-1) - is_sent  # read id per text position
+    hit = bwt == 0  # exactly num_strings hits per row
     (pos_idx,) = jnp.nonzero(hit.reshape(-1), size=B * num_strings, fill_value=0)
-    perm = idx.reshape(-1)[pos_idx].reshape(B, num_strings)
-    return bwt, perm
+    row = pos_idx // n_real
+    sa_at = sa.reshape(-1)[pos_idx]
+    perm = rid.reshape(-1)[row * n_real + sa_at].reshape(B, num_strings)
+    # 4-bit pack the BWT for the trip home
+    half = (n_real + 1) // 2
+    bwt_pad = jnp.pad(bwt, ((0, 0), (0, 2 * half - n_real)))
+    bwt4 = bwt_pad[:, 0::2] | (bwt_pad[:, 1::2] << 4)
+    return bwt4, perm
+
+
+def _pack4(codes_pad: np.ndarray) -> np.ndarray:
+    """Host-side 4-bit text packing (values 0..4 and pad 7; length even)."""
+    return codes_pad[..., 0::2] | (codes_pad[..., 1::2] << 4)
 
 
 def _device_index_build(texts: List[np.ndarray], starts: np.ndarray, num_strings: int):
@@ -274,15 +310,20 @@ def _device_index_build(texts: List[np.ndarray], starts: np.ndarray, num_strings
     import jax.numpy as jnp
 
     n_real = int(texts[0].size)
-    rounds = max(_sa_rounds(_max_span(c)) for c in texts)
+    rounds = max(_sa_rounds_v3(_max_span(c)) for c in texts)
     n = _pad_size(n_real)
-    codes = np.stack([_pad_codes(c, n) for c in texts])
-    bwt, perm = _sa_bwt_perm_v2(
-        rounds, n, n_real, num_strings,
-        jnp.asarray(codes), jnp.asarray(starts.astype(np.int32)),
+    codes4 = _pack4(np.stack([_pad_codes(c, n) for c in texts]))
+    bwt4, perm = _sa_bwt_perm_v3(
+        rounds, n, n_real, num_strings, jnp.asarray(codes4)
     )
-    bwt = np.asarray(bwt, dtype=np.uint8)
+    bwt4 = np.asarray(bwt4)
     perm = np.asarray(perm, dtype=np.int64)
+    # host-side 4-bit unpack
+    B = bwt4.shape[0]
+    bwt = np.empty((B, bwt4.shape[1] * 2), dtype=np.uint8)
+    bwt[:, 0::2] = bwt4 & 0xF
+    bwt[:, 1::2] = bwt4 >> 4
+    bwt = bwt[:, :n_real]
     return [(bwt[b], perm[b]) for b in range(len(texts))]
 
 
