@@ -6,8 +6,10 @@ Python-3 equivalent of the reference harness
 positions from a reference FASTA at the requested coverage, emit r1/r2 pairs
 separated by a (normally distributed) insert, dedupe identical fragments.
 
-usage: paired_read_gen.py REF.fa READLEN [COVERAGE] [INSERT] [SIGMA] [SEED]
+usage: paired_read_gen.py REF.fa READLEN [COVERAGE] [INSERT] [SIGMA] [SEED] [ERR]
 Writes R1/R2 FASTA records to <prefix>_R1.fasta/<prefix>_R2.fasta.
+ERR (default 0) adds uniform substitution errors at that per-base rate —
+an extension over the reference harness so `siga correct` has real work.
 """
 import random
 import sys
@@ -38,6 +40,7 @@ def main():
     insert = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
     sigma = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     seed = int(sys.argv[6]) if len(sys.argv) > 6 else 0
+    err = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
     rng = random.Random(seed)
     deltas = (
         np.random.default_rng(seed).normal(0, sigma, 10000).astype(int)
@@ -57,6 +60,7 @@ def main():
                 continue
             seen_pos = set()
             seen_read = set()
+            pairs = []
             idx = 0
             for _ in range(n * coverage // (2 * k)):
                 pos = rng.randint(0, n - 2 * k - insert)
@@ -72,9 +76,28 @@ def main():
                 if frag in seen_read or frag.count("N") >= 10:
                     continue
                 seen_read.add(frag)
-                out1.write(f">p{idx:07d}/1\n{r1}\n")
-                out2.write(f">p{idx:07d}/2\n{r2}\n")
+                pairs.append(frag)
                 idx += 1
+    # vectorized substitution errors + output
+    nr = len(pairs)
+    if nr:
+        arr = np.frombuffer("".join(pairs).encode(), dtype=np.uint8).reshape(nr, 2 * k).copy()
+        if err > 0:
+            erng = np.random.default_rng(seed + 1)
+            mask = erng.random(arr.shape) < err
+            rank = np.zeros(256, dtype=np.uint8)
+            for i, c in enumerate("ACGT"):
+                rank[ord(c)] = i
+            shift = erng.integers(1, 4, arr.shape, dtype=np.uint8)
+            alts = np.frombuffer(b"ACGT", dtype=np.uint8)[
+                (rank[arr] + shift) % 4
+            ]
+            acgt = (arr != ord("N"))
+            arr = np.where(mask & acgt, alts, arr)
+        for i in range(nr):
+            row = arr[i].tobytes().decode()
+            out1.write(f">p{i:07d}/1\n{row[:k]}\n")
+            out2.write(f">p{i:07d}/2\n{row[k:]}\n")
     out1.close()
     out2.close()
     print(prefix)

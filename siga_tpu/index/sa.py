@@ -357,5 +357,11 @@ def build_index_arrays_pair(
             bwt_from_sa(rcodes, rsa), sai_perm_from_sa(rsa, starts),
             len(seqs),
         )
-    (f, r) = _device_index_build([codes, rcodes], starts, len(seqs))
+    if codes.size > 48_000_000:
+        # big texts: build the two orientations sequentially (B=1) so the
+        # sort's peak HBM stays at half the stacked B=2 program's
+        (f,) = _device_index_build([codes], starts, len(seqs))
+        (r,) = _device_index_build([rcodes], starts, len(seqs))
+    else:
+        (f, r) = _device_index_build([codes, rcodes], starts, len(seqs))
     return f[0], f[1], r[0], r[1], len(seqs)
