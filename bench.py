@@ -122,7 +122,7 @@ def _stage_breakdown(builder, records, min_overlap):
             t0 = time.time()
             packed_d = scanner._pack_ship(out, kb, kc)
             handle = (out, packed_d, kb, kc, cap, fcap, n_bucket, max_t,
-                      lim_t, min_overlap, la_d, lens_d)
+                      lim_t, min_overlap, la_d, lens_d, False)
             f_view, r_view = scanner.collect(handle)
             tm["ship"] += time.time() - t0
 

@@ -50,10 +50,20 @@ class FMIndex:
         self.totals = totals
         # C(a): number of symbols strictly smaller than a
         self.pred = np.concatenate(([0], np.cumsum(totals)[:-1]))
-        # per-symbol sorted position lists: host occ is 5 binary searches
-        self.positions = [
-            np.flatnonzero(self.codes == c) for c in range(dna.ALL_SIZE)
-        ]
+        self._positions = None
+
+    @property
+    def positions(self):
+        """Per-symbol sorted position lists (host occ = 5 binary searches).
+
+        Built lazily: the device engine + native stage B/C never touch them,
+        and the eager 5-pass flatnonzero was a measurable share of `siga
+        overlap`'s FM-load time at scale."""
+        if self._positions is None:
+            self._positions = [
+                np.flatnonzero(self.codes == c) for c in range(dna.ALL_SIZE)
+            ]
+        return self._positions
 
     @classmethod
     def load(cls, path: str) -> "FMIndex":

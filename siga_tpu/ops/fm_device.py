@@ -78,6 +78,8 @@ class DeviceFM:
         self._host_words = words.view(np.int32)
         self._host_dollar = dollar.view(np.int32)
         self._host_checkpoints = ckpt
+        self._host_codes_u8 = np.ascontiguousarray(host.codes)
+        self._host_pred = np.asarray(host.pred, dtype=np.int64)
         self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
         # Row-major fused plane [nblocks, ncols]: symbol words | '$'-mask
         # words | ACGT checkpoint counts.  The '$' checkpoint column is NOT
@@ -86,20 +88,126 @@ class DeviceFM:
         # derives base_$ = block*sample - sum(base_ACGT).  That keeps ncols
         # at exactly 16 for sample=128: a 64-byte row, and a per-query
         # contiguous row gather (plane[idx]) is the fastest gather form on
-        # this hardware (~290 GB/s measured on a v5 chip; the transposed
-        # take_along_axis form the scan previously used ran 9-25x slower
-        # inside the scan loop).  The popcount math transposes the gathered
+        # this hardware.  The popcount math transposes the gathered
         # [Q, 16] tile once and runs full-width on [*, Q] vectors.
-        self.occ_plane = jnp.asarray(
-            np.ascontiguousarray(
-                np.concatenate(
-                    [self._host_words, self._host_dollar, ckpt[:, 1:]],
-                    axis=1,
-                )
-            )
-        )
+        self._occ_plane = None
+        self._pair_plane = None
+        self._pair_K = None
         self._codes = None
         self._checkpoints = None
+
+    @property
+    def occ_plane(self):
+        if self._occ_plane is None:
+            import jax.numpy as jnp
+
+            self._occ_plane = jnp.asarray(
+                np.ascontiguousarray(
+                    np.concatenate(
+                        [
+                            self._host_words,
+                            self._host_dollar,
+                            self._host_checkpoints[:, 1:],
+                        ],
+                        axis=1,
+                    )
+                )
+            )
+        return self._occ_plane
+
+    def pair_plane_host(self):
+        """Host-side pair-step occ plane: one row per SAMPLE-symbol block,
+        serving TWO backward-search steps per gather.
+
+        TPU row gathers are issue-rate bound (~4 cycles/row) and the cost is
+        independent of row width up to >=512B (measured on v5e), so a wider
+        row that answers a 2-symbol extension halves both the gather count
+        and the sequential scan depth — the single biggest lever on the
+        stage-A scan.  Row layout (int32 columns, sample=128):
+          [ cur 2-bit symbol words (8) | prev 2-bit words (8)
+          | cur '$' mask, even-bit format (8) | prev '$' mask (8)
+          | 25 exclusive pair checkpoint counts occ2(p,c) (25) ]  = 57 cols.
+        `prev` at BWT row r is text[SA[r]-2] = BWT[LF(r)] — the symbol the
+        text reads immediately before the row's BWT symbol — so
+        occ2((p,c), i) counts rows <= i matching the length-2 left context
+        p·c.  The '$' masks use the even-bit (0x5555) format so they AND
+        directly with the 2-bit-symbol match masks.
+
+        Returns (plane int32 [nblocks, 57], K int64 [5,5]) where
+        K[c2][c1] = C(c2) + occ_{c2}(C(c1)-1) closes the two-step update
+        lo' = K[c2][c1] + occ2((c2,c1), lo-1)  (see _scan_pair_core).
+        """
+        sample = self.sample
+        codes = self._host_codes_u8
+        n = codes.size
+        nblocks = self.nblocks
+        # LF mapping via stable counting order: row r's LF is its rank in
+        # the (symbol, position) sort.
+        st = np.argsort(codes, kind="stable")
+        lf = np.empty(n, dtype=np.int64)
+        lf[st] = np.arange(n, dtype=np.int64)
+        prev = codes[lf]
+        prev[codes == 0] = 0  # cur='$' rows are never queried by pair
+        padded_prev = np.zeros(nblocks * sample, dtype=np.uint8)
+        padded_prev[:n] = prev
+
+        def two_bit_words(padded):
+            sym = padded.reshape(nblocks, sample).astype(np.uint32)
+            tb = np.where(sym == 0, 0, sym - 1)
+            sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+            return (tb.reshape(nblocks, sample // 16, 16) << sh).sum(
+                axis=2, dtype=np.uint32
+            )
+
+        def dollar_even_words(padded):
+            # '$' mask in even-bit format: position j -> bit 2*(j%16)
+            db = (padded.reshape(nblocks, sample) == 0).astype(np.uint32)
+            sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+            return (db.reshape(nblocks, sample // 16, 16) << sh).sum(
+                axis=2, dtype=np.uint32
+            )
+
+        curw = two_bit_words(self._host_padded)
+        prevw = two_bit_words(padded_prev)
+        curd = dollar_even_words(self._host_padded)
+        prevd = dollar_even_words(padded_prev)
+        ckpt2 = np.zeros((nblocks, 25), dtype=np.int64)
+        if n:
+            key = (np.arange(n, dtype=np.int64) // sample) * 25
+            key += prev.astype(np.int64) * 5 + codes
+            per_block = np.bincount(key, minlength=nblocks * 25).reshape(
+                nblocks, 25
+            )
+            ckpt2[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)
+        assert ckpt2.max(initial=0) < 2**31
+        plane = np.concatenate(
+            [
+                curw.view(np.int32),
+                prevw.view(np.int32),
+                curd.view(np.int32),
+                prevd.view(np.int32),
+                ckpt2.astype(np.int32),
+            ],
+            axis=1,
+        )
+        # K[c2][c1] = C(c2) + occ_{c2}(C(c1)-1): occ at the 5 C-boundaries
+        # computed from the codes directly (no positions lists)
+        pred = self._host_pred
+        K = np.zeros((5, 5), dtype=np.int64)
+        for c1 in range(5):
+            p = int(pred[c1])  # count symbols in codes[:p]
+            counts = np.bincount(codes[:p], minlength=5).astype(np.int64)
+            K[:, c1] = pred + counts
+        return np.ascontiguousarray(plane), K
+
+    def pair_plane(self):
+        import jax.numpy as jnp
+
+        if self._pair_plane is None:
+            plane, K = self.pair_plane_host()
+            self._pair_plane = jnp.asarray(plane)
+            self._pair_K = jnp.asarray(K.astype(np.int32))
+        return self._pair_plane, self._pair_K
 
     @property
     def codes(self):
@@ -495,6 +603,426 @@ _scan_packed_v2 = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
 )
 
 
+# ---------------------------------------------------------------------------
+# Pair-step scan: two backward-search steps per occ gather.
+#
+# TPU row gathers are issue-rate bound: the measured cost is per ROW and flat
+# in row width up to >=512B, so the 228-byte pair row (symbols + prev-symbols
+# + '$' masks + 25 pair checkpoints) serves a 2-symbol extension for the same
+# gather cost the 64-byte single-step row paid for one symbol — halving both
+# the gathered row count and the sequential scan depth.
+#
+# Math (no reference analog — TPU-first design):
+#   one step:   lo' = C(c1) + occ_{c1}(lo-1)
+#   two steps:  lo'' = K[c2][c1] + occ2((c2,c1), lo-1)
+#     where occ2((p,c), i) = #\{r <= i : BWT[r]=c and text[SA[r]-2]=p\}
+#     and   K[c2][c1] = C(c2) + occ_{c2}(C(c1)-1)
+#   (rows < lo' with BWT=c1 map 1:1 under LF to rows < C(c1) plus rows whose
+#    pair context is (c2,c1); the fixed prefix contributes the K constant.)
+# The intermediate state (after c1 only) and both '$'-probes derive from the
+# same gathered row: psize(t) from the cur-'$' mask, psize(t+1) from the
+# ('$',c1) pair count.
+# ---------------------------------------------------------------------------
+
+PAIR_COLS = 57  # 8 cur + 8 prev + 8 cur$ + 8 prev$ + 25 ckpt (sample=128)
+_LO_BITS = jnp.uint32(0x55555555)
+
+
+def _pair_masks(rowsT, want_prev):
+    """Even-bit match masks for each symbol from a transposed pair-plane
+    gather.  rowsT: [PAIR_COLS, R] int32.  Returns (cur_masks[5], prev_masks
+    [5] or None, wmask_fn) where masks are uint32 [8, R] with bit 2k set iff
+    symbol k of the word matches."""
+    curw = rowsT[0:8].astype(jnp.uint32)
+    prevw = rowsT[8:16].astype(jnp.uint32)
+    curd = rowsT[16:24].astype(jnp.uint32)
+    prevd = rowsT[24:32].astype(jnp.uint32)
+
+    def match2(w, pattern):
+        x = w ^ pattern
+        return ~(x | (x >> 1)) & _LO_BITS
+
+    def masks(w, d):
+        mA = match2(w, jnp.uint32(0)) & ~d
+        mC = match2(w, _LO_BITS)
+        mG = match2(w, jnp.uint32(0xAAAAAAAA))
+        mT = match2(w, jnp.uint32(0xFFFFFFFF))
+        return (d, mA, mC, mG, mT)
+
+    cur = masks(curw, curd)
+    prev = masks(prevw, prevd) if want_prev else None
+    return cur, prev
+
+
+def _tail_wmask(tail_len):
+    """[8, R] uint32 valid-position mask (2 bits per symbol, low-first)."""
+    widx = (jnp.arange(8, dtype=jnp.int32) * 16)[:, None]
+    valid = jnp.clip(tail_len[None, :] - widx, 0, 16).astype(jnp.uint32)
+    return jnp.where(
+        valid == 16, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << (2 * valid)) - 1
+    )
+
+
+def _popsum(mask):
+    return jax.lax.population_count(mask).sum(axis=0).astype(jnp.int32)
+
+
+def _pair_occ(rowsT, block0, tail_len, c1, want_pairs):
+    """Inclusive occ counts from gathered pair-plane rows.
+
+    rowsT [PAIR_COLS, R]; block0/tail_len [R]; c1 [R] (symbol prepended
+    first; only used when want_pairs).  Returns (singles [5, R],
+    pairs [5, R] or None) where pairs[p] = occ2((p, c1), i)."""
+    ckpt = rowsT[32:57]  # [25, R] exclusive base counts, key p*5+c
+    cur, prev = _pair_masks(rowsT, want_pairs)
+    wmask = _tail_wmask(tail_len)
+
+    base_sing = [
+        ckpt[0 + c] + ckpt[5 + c] + ckpt[10 + c] + ckpt[15 + c] + ckpt[20 + c]
+        for c in range(5)
+    ]
+    singles = jnp.stack(
+        [base_sing[c] + _popsum(cur[c] & wmask) for c in range(5)], axis=0
+    )
+    if not want_pairs:
+        return singles, None
+    # cur-mask and ckpt column selected by the per-lane c1 (c1 in 1..4; the
+    # c1==0 case only occurs on masked garbage lanes)
+    m_c1 = jnp.zeros_like(cur[1])
+    for c in range(1, 5):
+        m_c1 = jnp.where(c1[None, :] == c, cur[c], m_c1)
+    pairs_rows = []
+    for p in range(5):
+        base = jnp.zeros_like(block0)
+        for c in range(1, 5):
+            base = jnp.where(c1 == c, ckpt[p * 5 + c], base)
+        pairs_rows.append(base + _popsum(prev[p] & m_c1 & wmask))
+    return singles, jnp.stack(pairs_rows, axis=0)
+
+
+def _sel_rank(vec5, c):
+    """vec5 [5, Q] selected by rank c [Q] -> [Q] (unrolled selects)."""
+    out = jnp.where(c == 0, vec5[0], 0)
+    for r in range(1, 5):
+        out = jnp.where(c == r, vec5[r], out)
+    return out
+
+
+def _below_rank(vec5, c):
+    """sum of vec5[r] for r < c (per lane)."""
+    out = jnp.zeros_like(vec5[0])
+    for r in range(5):
+        out = out + jnp.where(c > r, vec5[r], 0)
+    return out
+
+
+def _scan_pair_core(
+    max_t, lim_t, min_overlap, cap, fcap, fwd_groups, rev_groups,
+    plane2, K2, pred, length, nblocks,
+    la_words, lens,
+):
+    """Stage-A scan, pair-step engine (2 backward steps per gather).
+
+    Emits the same per-(lane, t) records as _scan_packed_core, compacted
+    lane-major t-ascending, plus per-lane block counts so the wire format
+    ships no flat indices.  Outputs (all device):
+      counts[4] = [nblocks, fcount, size_ovf, cand_ovf]
+      lane_counts int32 [lanes]
+      data3T [3, cap] = lo | rlo | size   (lane-major, t-ascending)
+      trel  int32 [cap]                   (t - t0, t0 = 2*(p1//2))
+      candmask int32 [ceil(lanes/32)]
+      candT [5, fcap] = flo | frlo | l0 | fsize | psize
+      subwords int32 [ceil(lanes/32)]
+    """
+    maxlen = max_t + 1
+    la = _unpack_2bit(la_words, lens, maxlen, right_align=False)
+    j = jnp.arange(maxlen, dtype=jnp.int32)[None, :]
+    src = j - (maxlen - lens)[:, None]
+    ra = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(la, jnp.clip(src, 0, maxlen - 1), axis=1),
+        0,
+    )
+    rra_roll = jnp.roll(jnp.flip(ra, axis=1), -1, axis=1)
+    la_roll = jnp.roll(la, -1, axis=1)
+    group_chars = {
+        GROUP_ID: lambda: rra_roll,
+        GROUP_RC: lambda: _complement_ranks(la_roll),
+        GROUP_REV: lambda: la_roll,
+        GROUP_COMP: lambda: _complement_ranks(rra_roll),
+    }
+    n = lens.shape[0]
+    groups = tuple(fwd_groups) + tuple(rev_groups)
+    charsT = jnp.concatenate([group_chars[g]() for g in groups], axis=0).T
+    lens_all = jnp.tile(lens, (len(groups),))
+    nf, nr = len(fwd_groups), len(rev_groups)
+    tab = jnp.concatenate(
+        [jnp.zeros(n * nf, jnp.int32), jnp.full((n * nr,), 1, jnp.int32) * nblocks]
+    )
+    num_lanes = charsT.shape[1]
+    is_fwd = jnp.arange(num_lanes, dtype=jnp.int32) < n * nf
+    tab2 = jnp.concatenate([tab, tab])
+    is_fwd2 = jnp.concatenate([is_fwd, is_fwd])
+    sample = _plane_sample_pair(plane2.shape[-1])
+
+    def gather(i):
+        pos = i + 1
+        block0 = pos // sample
+        rows = plane2[block0 + tab2]
+        return rows.T, block0, pos - block0 * sample
+
+    def occ_singles(i, tabs):
+        pos = i + 1
+        block0 = pos // sample
+        rows = plane2[block0 + tabs]
+        singles, _ = _pair_occ(rows.T, block0, pos - block0 * sample, None, False)
+        return singles
+
+    def Ksel(c2, c1):
+        out = jnp.zeros_like(c1)
+        for a in range(1, 5):
+            for b in range(1, 5):
+                out = jnp.where(
+                    (c2 == a) & (c1 == b),
+                    jnp.where(is_fwd, K2[0, a, b], K2[1, a, b]),
+                    out,
+                )
+        return out
+
+    # init with the last character of each read
+    c0 = charsT[max_t]
+    lo0 = pred[c0]
+    full = occ_singles(jnp.full((num_lanes,), 1, jnp.int32) * (length - 1), tab)
+    hi0 = lo0 + jnp.take_along_axis(full, c0[None, :], axis=0)[0] - 1
+    state0 = (lo0, hi0, lo0, hi0)
+
+    p1 = min(max(min_overlap - 1, 0), lim_t)
+    t0 = 2 * (p1 // 2)
+    lim2 = lim_t + (lim_t & 1)  # odd lim_t: a masked phantom half-step pads
+    S_warm = p1 // 2
+    S_emit = (lim2 - t0) // 2
+    T2 = lim2 - t0
+
+    def superstep(state, xs, emit):
+        (c1, c2), t = xs
+        lo, hi, rlo, rhi = state
+        rowsT, block0, tail = gather(jnp.concatenate([lo - 1, hi]))
+        c1_2 = jnp.concatenate([c1, c1])
+        singles, pairs = _pair_occ(rowsT, block0, tail, c1_2, True)
+        l_s, u_s = singles[:, :num_lanes], singles[:, num_lanes:]
+        l_p, u_p = pairs[:, :num_lanes], pairs[:, num_lanes:]
+        diff = u_s - l_s
+        pd = u_p - l_p
+        active1 = t <= lens_all - 2
+        active2 = t + 1 <= lens_all - 2
+        # sub-state 1 (prepend c1)
+        d1 = _sel_rank(diff, c1)
+        nlo1 = _sel_rank(pred[:, None] + l_s, c1)
+        nhi1 = _sel_rank(pred[:, None] + u_s, c1) - 1
+        nrlo1 = rlo + _below_rank(diff, c1)
+        nrhi1 = nrlo1 + d1 - 1
+        # state 2 (prepend c2): two-step closed form via K + pair occ
+        Kv = Ksel(c2, c1)
+        nlo2 = Kv + _sel_rank(l_p, c2)
+        nhi2 = Kv + _sel_rank(u_p, c2) - 1
+        d2 = _sel_rank(pd, c2)
+        nrlo2 = nrlo1 + _below_rank(pd, c2)
+        nrhi2 = nrlo2 + d2 - 1
+        ns = (
+            jnp.where(active2, nlo2, jnp.where(active1, nlo1, lo)),
+            jnp.where(active2, nhi2, jnp.where(active1, nhi1, hi)),
+            jnp.where(active2, nrlo2, jnp.where(active1, nrlo1, rlo)),
+            jnp.where(active2, nrhi2, jnp.where(active1, nrhi1, rhi)),
+        )
+        if not emit:
+            return ns, ()
+        # emission at state t (psize from cur-'$' singles)
+        psize0 = diff[0]
+        valid0 = (
+            (psize0 > 0) & (rlo + psize0 - 1 >= 0) & active1 & (t >= p1)
+        )
+        emit0 = jnp.stack([lo, rlo, hi - lo], axis=0)
+        # emission at state t+1 (psize from the ('$', c1) pair count)
+        psize1 = pd[0]
+        valid1 = (
+            (psize1 > 0) & (nrlo1 + psize1 - 1 >= 0) & active2 & (t + 1 >= p1)
+        )
+        emit1 = jnp.stack([nlo1, nrlo1, d1 - 1], axis=0)
+        emitted = jnp.stack([emit0, emit1], axis=1)  # [3, 2, Q]
+        valid = jnp.stack([valid0, valid1], axis=0)  # [2, Q]
+        return ns, (emitted, valid)
+
+    chars_used = charsT[:lim_t]
+    if lim2 != lim_t:
+        chars_used = jnp.concatenate(
+            [chars_used, jnp.zeros((1, num_lanes), chars_used.dtype)]
+        )
+    chars_pairs = chars_used.reshape(lim2 // 2, 2, num_lanes)
+    ts = jnp.arange(0, lim2, 2, dtype=jnp.int32)
+    s1, _ = jax.lax.scan(
+        lambda s, xs: superstep(s, xs, False), state0,
+        ((chars_pairs[:S_warm, 0], chars_pairs[:S_warm, 1]), ts[:S_warm]),
+    )
+    if S_emit > 0:
+        s2, (emitted, valid) = jax.lax.scan(
+            lambda s, xs: superstep(s, xs, True), s1,
+            (
+                (chars_pairs[S_warm:, 0], chars_pairs[S_warm:, 1]),
+                ts[S_warm:],
+            ),
+        )
+    else:
+        s2 = s1
+    flo, fhi, frlo, frhi = s2
+
+    # finals: containment/substring classification (as _scan_packed_core)
+    fs = occ_singles(jnp.concatenate([flo - 1, fhi]), tab2)
+    l_counts, u_counts = fs[:, :num_lanes], fs[:, num_lanes:]
+    lext_dna = (u_counts[1:] - l_counts[1:]).sum(axis=0) > 0
+    tab2_other = jnp.concatenate([nblocks - tab, nblocks - tab])
+    fr = occ_singles(jnp.concatenate([frlo - 1, frhi]), tab2_other)
+    rext_dna = (fr[1:, num_lanes:] - fr[1:, :num_lanes]).sum(axis=0) > 0
+    substring = lext_dna | rext_dna
+    l0 = l_counts[0]
+    u0 = u_counts[0]
+    psize_f = u0 - l0
+    fvalid = (psize_f > 0) & (u0 - 1 >= 0) & (frlo + psize_f - 1 >= 0) & (
+        frlo + psize_f - 1 >= frlo
+    )
+    fcount = fvalid.sum(dtype=jnp.int32)
+    (fidx,) = jnp.nonzero(fvalid, size=fcap, fill_value=num_lanes - 1)
+    fall = jnp.stack([flo, frlo, l0, fhi - flo, psize_f], axis=0)
+    candT = jnp.take_along_axis(
+        fall, jnp.broadcast_to(fidx[None, :], (5, fcap)), axis=1
+    )
+    fmask = jnp.arange(fcap, dtype=jnp.int32) < fcount
+    cand_ovf = jnp.any(
+        jnp.where(fmask[None, :], candT[3:5], 0) >= 0xFFFF
+    ).astype(jnp.int32)
+    candmask = _pack_bits32(fvalid)
+    subwords = _pack_bits32(substring)
+
+    if S_emit > 0:
+        # Two-level compaction: a full-grid nonzero over the [lanes*T2] flat
+        # index space costs ~9ns/slot on this hardware (it dominated the
+        # whole emitting phase); instead (1) left-pack each lane's T2-wide
+        # row with a small minor-axis sort (local, VPU-cheap), then (2) one
+        # flat gather of exactly `cap` packed entries addressed through the
+        # per-lane prefix sums.
+        def to_rows(x):  # [S2, 2, Q] -> [Q, T2], t ascending per lane
+            return x.transpose(2, 0, 1).reshape(num_lanes, T2)
+
+        trel_grid = (
+            2 * jnp.arange(S_emit, dtype=jnp.int32)[:, None, None]
+            + jnp.arange(2, dtype=jnp.int32)[None, :, None]
+        )
+        key = jnp.where(
+            valid, jnp.broadcast_to(trel_grid, valid.shape), jnp.int32(0x7FFFFFFF)
+        )
+        ks, los, rlos, szs = jax.lax.sort(
+            (
+                to_rows(key),
+                to_rows(emitted[:, 0]),
+                to_rows(emitted[:, 1]),
+                to_rows(emitted[:, 2]),
+            ),
+            dimension=-1,
+            num_keys=1,
+        )
+        lane_counts = valid.sum(axis=(0, 1)).astype(jnp.int32)
+        prefix = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lane_counts, dtype=jnp.int32)]
+        )
+        count = prefix[-1]
+        seg = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.clip(prefix[1:], 0, cap)
+        ].add(1)
+        lane_of = jnp.cumsum(seg[:cap], dtype=jnp.int32)
+        j_of = jnp.arange(cap, dtype=jnp.int32) - prefix[lane_of]
+        src = jnp.clip(lane_of * T2 + j_of, 0, num_lanes * T2 - 1)
+        data3T = jnp.stack(
+            [los.reshape(-1)[src], rlos.reshape(-1)[src], szs.reshape(-1)[src]]
+        )
+        trel = ks.reshape(-1)[src]
+        bmask = jnp.arange(cap, dtype=jnp.int32) < count
+        size_ovf = jnp.any(
+            jnp.where(bmask, data3T[2], 0) >= 0xFFFF
+        ).astype(jnp.int32)
+    else:
+        count = jnp.int32(0)
+        data3T = jnp.zeros((3, cap), jnp.int32)
+        trel = jnp.zeros((cap,), jnp.int32)
+        lane_counts = jnp.zeros((num_lanes,), jnp.int32)
+        size_ovf = jnp.int32(0)
+    counts = jnp.stack([count, fcount, size_ovf, cand_ovf])
+    return (counts, lane_counts, data3T, trel, candmask, candT, subwords)
+
+
+def _plane_sample_pair(ncols: int) -> int:
+    """sample from the pair plane's column count: 32 mask/word cols + 25."""
+    s = (ncols - 25) * 4
+    assert s % 32 == 0 and ncols == PAIR_COLS or s % 32 == 0, ncols
+    return s
+
+
+_scan_pair_v1 = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))(
+    _scan_pair_core
+)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pack_pair_compact(kb, kc, out):
+    """Compact wire format for the pair scan (decoded in collect):
+    [header8 | lane_counts u16-packed | lo kb | rlo kb | szt kb
+     | candmask | flo kc | frlo kc | l0 kc | szpsz kc | subwords]
+    where szt = trel<<16 | size and szpsz = fsize<<16 | psize.
+    Valid only when the header overflow flags are 0 (host re-packs wide
+    otherwise)."""
+    counts, lane_counts, data3T, trel, candmask, candT, subwords = out
+    header = jnp.concatenate([counts, jnp.zeros((4,), jnp.int32)])
+    lc = lane_counts.reshape(-1, 2)
+    lc_pack = lc[:, 0] | (lc[:, 1] << 16)
+    szt = (trel[:kb] << 16) | (data3T[2, :kb] & 0xFFFF)
+    szpsz = (jnp.clip(candT[3, :kc], 0, 0xFFFF) << 16) | (
+        jnp.clip(candT[4, :kc], 0, 0xFFFF)
+    )
+    return jnp.concatenate(
+        [
+            header,
+            lc_pack,
+            data3T[0, :kb],
+            data3T[1, :kb],
+            szt,
+            candmask,
+            candT[0, :kc],
+            candT[1, :kc],
+            candT[2, :kc],
+            szpsz,
+            subwords,
+        ]
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pack_pair_wide(kb, kc, out):
+    """Wide wire format (no field-packing) for overflow cases."""
+    counts, lane_counts, data3T, trel, candmask, candT, subwords = out
+    header = jnp.concatenate([counts, jnp.zeros((4,), jnp.int32)])
+    lc = lane_counts.reshape(-1, 2)
+    lc_pack = lc[:, 0] | (lc[:, 1] << 16)
+    return jnp.concatenate(
+        [
+            header,
+            lc_pack,
+            data3T[:, :kb].reshape(-1),
+            trel[:kb],
+            candmask,
+            candT[:, :kc].reshape(-1),
+            subwords,
+        ]
+    )
+
+
 def _build_sharded_scan(mesh, axis, statics):
     """Compile the stage-A scan with the fused occ plane SA-range-sharded
     over the mesh: every device holds 1/D of the (stacked fwd+rev) plane
@@ -684,14 +1212,35 @@ class DualScanner:
     def __init__(self, dfwd: DeviceFM, drev: DeviceFM, mesh=None,
                  fwd_groups=(GROUP_ID, GROUP_RC),
                  rev_groups=(GROUP_REV, GROUP_COMP),
-                 shard_index: bool = False):
+                 shard_index: bool = False,
+                 pair_step: bool | None = None):
+        import os
+
         assert dfwd.length == drev.length
         assert dfwd.sample == drev.sample and dfwd.nblocks == drev.nblocks
         self.length = dfwd.length
         self.nblocks = dfwd.nblocks
         self.fwd_groups = tuple(fwd_groups)
         self.rev_groups = tuple(rev_groups)
-        plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
+        if pair_step is None:
+            pair_step = os.environ.get("SIGA_PAIR_STEP", "1") != "0"
+        # the sharded capacity mode still runs the single-step core
+        self.pair = bool(pair_step) and not shard_index
+        if self.pair:
+            fp = dfwd._pair_host if getattr(dfwd, "_pair_host", None) else None
+            if fp is None:
+                fp = dfwd._pair_host = dfwd.pair_plane_host()
+            rp = getattr(drev, "_pair_host", None)
+            if rp is None:
+                rp = drev._pair_host = drev.pair_plane_host()
+            plane = jnp.asarray(
+                np.ascontiguousarray(np.concatenate([fp[0], rp[0]], axis=0))
+            )
+            self.K2 = jnp.asarray(
+                np.stack([fp[1], rp[1]]).astype(np.int32)
+            )
+        else:
+            plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
         self.pred = dfwd.pred
         self.mesh = mesh
         self._occ_shard = None
@@ -740,6 +1289,14 @@ class DualScanner:
         )
 
     def _run(self, cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d):
+        if self.pair:
+            return _scan_pair_v1(
+                max_t, lim_t, min_overlap, cap, fcap,
+                self.fwd_groups, self.rev_groups,
+                self.plane, self.K2, self.pred,
+                jnp.int32(self.length), jnp.int32(self.nblocks),
+                la_d, lens_d,
+            )
         if self._occ_shard is not None:
             statics = (
                 max_t, lim_t, min_overlap, cap, fcap,
@@ -761,12 +1318,16 @@ class DualScanner:
             la_d, lens_d,
         )
 
-    def _pack_ship(self, out, kb, kc):
+    def _pack_ship(self, out, kb, kc, wide=False):
         """Slice the scan outputs to the transfer budgets, fuse into one
         buffer and start the host copy immediately (overlaps the next
         chunk's scan on the device stream)."""
-        counts, idx, data, fidx, frows, subwords = out
-        packed = _pack_v3(kb, kc, counts, idx, data, fidx, frows, subwords)
+        if self.pair:
+            fn = _pack_pair_wide if wide else _pack_pair_compact
+            packed = fn(kb, kc, out)
+        else:
+            counts, idx, data, fidx, frows, subwords = out
+            packed = _pack_v3(kb, kc, counts, idx, data, fidx, frows, subwords)
         try:
             packed.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without async copies
@@ -797,10 +1358,12 @@ class DualScanner:
             self._kc = _granule(2 * n + n // 8, 4096)
         kb = min(self._kb, cap)
         kc = min(self._kc, fcap)
+        p1 = min(max(min_overlap - 1, 0), lim_t)
+        wide = self.pair and (lim_t + 1 - 2 * (p1 // 2)) > 0xFFFF
         out = self._run(cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d)
-        packed = self._pack_ship(out, kb, kc)
+        packed = self._pack_ship(out, kb, kc, wide=wide)
         return (out, packed, kb, kc, cap, fcap, n, max_t, lim_t, min_overlap,
-                la_d, lens_d)
+                la_d, lens_d, wide)
 
     def collect(self, handle):
         """Fetch one dispatched chunk (normally a single host sync).
@@ -818,7 +1381,7 @@ class DualScanner:
             full-length interval (the substring-read test, computed fully
             on device)."""
         (out, packed_d, kb, kc, cap, fcap, n, max_t, lim_t, min_overlap,
-         la_d, lens_d) = handle
+         la_d, lens_d, wide) = handle
         packed = np.asarray(packed_d)
         nblocks, fcount = int(packed[0]), int(packed[1])
         while nblocks > cap:
@@ -828,15 +1391,23 @@ class DualScanner:
             out = self._run(cap, fcap, max_t, lim_t, min_overlap, la_d, lens_d)
             kb = min(max(kb, _granule(nblocks, 8192)), cap)
             self._kb = max(self._kb, kb)
-            packed = np.asarray(self._pack_ship(out, kb, kc))
+            packed = np.asarray(self._pack_ship(out, kb, kc, wide=wide))
             nblocks, fcount = int(packed[0]), int(packed[1])
+        if self.pair and not wide and (int(packed[2]) or int(packed[3])):
+            # a packed 16-bit field overflowed: re-ship in the wide format
+            wide = True
+            packed = np.asarray(self._pack_ship(out, kb, kc, wide=True))
         if nblocks > kb or fcount > kc:
             # transfer budget too small: re-slice the live outputs
             kb = min(max(kb, _granule(nblocks, 8192)), cap)
             kc = min(max(kc, _granule(fcount, 4096)), fcap)
             self._kb = max(self._kb, kb)
             self._kc = max(self._kc, kc)
-            packed = np.asarray(self._pack_ship(out, kb, kc))
+            packed = np.asarray(self._pack_ship(out, kb, kc, wide=wide))
+        if self.pair:
+            return self._decode_pair(
+                packed, kb, kc, n, lim_t, min_overlap, wide
+            )
 
         nf, nr = len(self.fwd_groups), len(self.rev_groups)
         num_lanes = n * (nf + nr)
@@ -874,6 +1445,84 @@ class DualScanner:
             t = np.zeros(0, dtype=np.int64)
             data = data[:0]
         # split back into the fwd and rev scanner views
+        is_f = lane < half
+        cf = cand_lanes < half
+        f_view = (lane[is_f], t[is_f], data[is_f],
+                  cand_lanes[cf], cand_rows[cf], subbits[:half])
+        r_view = (lane[~is_f] - half, t[~is_f], data[~is_f],
+                  cand_lanes[~cf] - half, cand_rows[~cf], subbits[half:])
+        return f_view, r_view
+
+    def _decode_pair(self, packed, kb, kc, n, lim_t, min_overlap, wide):
+        """Decode the pair-scan wire formats into the collect() views."""
+        nf, nr = len(self.fwd_groups), len(self.rev_groups)
+        num_lanes = n * (nf + nr)
+        half = n * nf
+        nmask = -(-num_lanes // 32)
+        nblocks, fcount = int(packed[0]), int(packed[1])
+        p1 = min(max(min_overlap - 1, 0), lim_t)
+        t0 = 2 * (p1 // 2)
+
+        pos = 8
+        lc_pack = packed[pos : pos + num_lanes // 2].view(np.uint32)
+        pos += num_lanes // 2
+        lane_counts = np.empty(num_lanes, dtype=np.int64)
+        lane_counts[0::2] = lc_pack & 0xFFFF
+        lane_counts[1::2] = lc_pack >> 16
+        if wide:
+            data3 = packed[pos : pos + 3 * kb].reshape(3, kb)[:, :nblocks]
+            pos += 3 * kb
+            lo, rlo, size = (a.astype(np.int64) for a in data3)
+            trel = packed[pos : pos + kb][:nblocks].astype(np.int64)
+            pos += kb
+        else:
+            lo = packed[pos : pos + kb][:nblocks].astype(np.int64)
+            pos += kb
+            rlo = packed[pos : pos + kb][:nblocks].astype(np.int64)
+            pos += kb
+            szt = packed[pos : pos + kb][:nblocks].view(np.uint32)
+            pos += kb
+            trel = (szt >> 16).astype(np.int64)
+            size = (szt & 0xFFFF).astype(np.int64)
+        candmask = packed[pos : pos + nmask].view(np.uint32)
+        pos += nmask
+        if wide:
+            cand5 = packed[pos : pos + 5 * kc].reshape(5, kc)[:, :fcount]
+            pos += 5 * kc
+            flo, frlo, l0, fsize, psize = (a.astype(np.int64) for a in cand5)
+        else:
+            flo = packed[pos : pos + kc][:fcount].astype(np.int64)
+            pos += kc
+            frlo = packed[pos : pos + kc][:fcount].astype(np.int64)
+            pos += kc
+            l0 = packed[pos : pos + kc][:fcount].astype(np.int64)
+            pos += kc
+            szpsz = packed[pos : pos + kc][:fcount].view(np.uint32)
+            pos += kc
+            fsize = (szpsz >> 16).astype(np.int64)
+            psize = (szpsz & 0xFFFF).astype(np.int64)
+        subwords_h = packed[pos : pos + nmask].view(np.uint32)
+        bits = np.arange(32, dtype=np.uint32)[None, :]
+        subbits = (
+            ((subwords_h[:, None] >> bits) & 1).astype(np.uint8).reshape(-1)
+        )[:num_lanes]
+        cbits = (
+            ((candmask[:, None] >> bits) & 1).astype(bool).reshape(-1)
+        )[:num_lanes]
+        cand_lanes = np.flatnonzero(cbits)
+        assert len(cand_lanes) == fcount
+
+        lane = np.repeat(np.arange(num_lanes, dtype=np.int64), lane_counts)
+        t = trel + t0
+        data = np.empty((nblocks, 4), dtype=np.int64)
+        data[:, 0] = lo
+        data[:, 1] = lo + size
+        data[:, 2] = rlo
+        data[:, 3] = rlo + size
+        cand_rows = np.stack(
+            [flo, flo + fsize, frlo, frlo + fsize, l0, l0 + psize], axis=1
+        )
+
         is_f = lane < half
         cf = cand_lanes < half
         f_view = (lane[is_f], t[is_f], data[is_f],

@@ -9,6 +9,7 @@ identical blocks.
 """
 from __future__ import annotations
 
+import os
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -259,109 +260,148 @@ def _batch_overlap_ordered(
     LOOKAHEAD = 8  # chunks in flight: dispatch latency pipelines on device
     inflight = [dispatch(s) for s in starts[:LOOKAHEAD]]
 
-    for ci, start in enumerate(starts):
-        chunk, h = inflight.pop(0)
-        if ci + LOOKAHEAD < len(starts):
-            inflight.append(dispatch(starts[ci + LOOKAHEAD]))
-        f_view, r_view = scanner.collect(h)
+    # Stage B/C (native C++) runs in a worker thread one chunk behind the
+    # collect loop: ctypes releases the GIL, so the next chunk's device sync
+    # and host packing overlap the previous chunk's extraction instead of
+    # serializing with it.  One worker keeps chunk results ordered.
+    proc0 = _native_chunk_processor(builder)
+    executor = None
+    if (
+        proc0 is not None
+        and len(starts) > 1
+        and os.environ.get("SIGA_NATIVE_PIPELINE", "1") != "0"
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+    pending_native = []  # (start, chunk, future)
+
+    def native_args(chunk, f_view, r_view):
         f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
         r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
-        n = len(f_sub) // (2 if builder.rc else 1)  # lane bucket of the chunk
+        n = len(f_sub) // (2 if builder.rc else 1)
         num_lanes = 2 * n if builder.rc else n
+        lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
+        f_starts = np.searchsorted(f_lane, np.arange(num_lanes + 1))
+        r_starts = np.searchsorted(r_lane, np.arange(num_lanes + 1))
+        f_fi = _final8_from_cands(num_lanes, f_cl, f_cr)
+        r_fi = _final8_from_cands(num_lanes, r_cl, r_cr)
+        return (
+            lens_chunk, builder.rc, builder.irreducible, n,
+            (f_starts, f_t, f_data, f_fi, f_sub),
+            (r_starts, r_t, r_data, r_fi, r_sub),
+        )
 
-        proc = _native_chunk_processor(builder)
-        if proc is not None:
-            # native consumes the raw 4-col records; the '$'-probe pair
-            # derives in C++ (make_block4)
-            lens_chunk = np.array([len(r.seq) for r in chunk], dtype=np.int64)
-            f_starts = np.searchsorted(f_lane, np.arange(num_lanes + 1))
-            r_starts = np.searchsorted(r_lane, np.arange(num_lanes + 1))
-            f_fi = _final8_from_cands(num_lanes, f_cl, f_cr)
-            r_fi = _final8_from_cands(num_lanes, r_cl, r_cr)
-            outs, substr, failed = proc.run(
-                lens_chunk,
-                builder.rc,
-                builder.irreducible,
-                n,
-                (f_starts, f_t, f_data, f_fi, f_sub),
-                (r_starts, r_t, r_data, r_fi, r_sub),
-            )
+    try:
+        for ci, start in enumerate(starts):
+            chunk, h = inflight.pop(0)
+            if ci + LOOKAHEAD < len(starts):
+                inflight.append(dispatch(starts[ci + LOOKAHEAD]))
+            f_view, r_view = scanner.collect(h)
+
+            if proc0 is not None:
+                args = native_args(chunk, f_view, r_view)
+                if executor is not None:
+                    while len(pending_native) >= 2:
+                        s0, c0, fut = pending_native.pop(0)
+                        outs, substr, _failed = fut.result()
+                        for k in range(len(c0)):
+                            yield _LazyHit(s0 + k, bool(substr[k]), outs[k])
+                    pending_native.append(
+                        (start, chunk, executor.submit(proc0.run, *args))
+                    )
+                else:
+                    outs, substr, _failed = proc0.run(*args)
+                    for k in range(len(chunk)):
+                        yield _LazyHit(start + k, bool(substr[k]), outs[k])
+                continue
+
+            f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
+            r_lane, r_t, r_data, r_cl, r_cr, r_sub = r_view
+            n = len(f_sub) // (2 if builder.rc else 1)
+            num_lanes = 2 * n if builder.rc else n
+
+            f_data = _with_probe(fmi, f_data)
+            r_data = _with_probe(rfmi, r_data)
+            f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
+            r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
+            f_contain = _Containments(f_cl, f_cr, f_sub, rfmi)
+            r_contain = _Containments(r_cl, r_cr, r_sub, fmi)
+
+            pending = []
+            tasks = []
             for k, rec in enumerate(chunk):
-                yield _LazyHit(start + k, bool(substr[k]), outs[k])
-            continue
+                seqlen = len(rec.seq)
+                result = OverlapResult()
+                hit = Hit(idx=start + k)
 
-        f_data = _with_probe(fmi, f_data)
-        r_data = _with_probe(rfmi, r_data)
-        f_blocks = _ScanBlocks(f_lane, f_t, f_data, num_lanes)
-        r_blocks = _ScanBlocks(r_lane, r_t, r_data, num_lanes)
-        f_contain = _Containments(f_cl, f_cr, f_sub, rfmi)
-        r_contain = _Containments(r_cl, r_cr, r_sub, fmi)
+                suffixfwd = f_blocks.blocks(k, AF_SUFFIX_PREFIX)
+                prefixrev = r_blocks.blocks(k, AF_PREFIX_SUFFIX)
+                containfwd: List[OverlapBlock] = []
+                containrev: List[OverlapBlock] = []
+                prefixfwd: List[OverlapBlock] = []
+                suffixrev: List[OverlapBlock] = []
 
-        pending = []
-        tasks = []
-        for k, rec in enumerate(chunk):
-            seqlen = len(rec.seq)
-            result = OverlapResult()
-            hit = Hit(idx=start + k)
-
-            suffixfwd = f_blocks.blocks(k, AF_SUFFIX_PREFIX)
-            prefixrev = r_blocks.blocks(k, AF_PREFIX_SUFFIX)
-            containfwd: List[OverlapBlock] = []
-            containrev: List[OverlapBlock] = []
-            prefixfwd: List[OverlapBlock] = []
-            suffixrev: List[OverlapBlock] = []
-
-            cb = f_contain.get(k, seqlen, AF_SUFFIX_PREFIX, result)
-            if cb is not None:
-                containfwd.append(cb)
-            cb = r_contain.get(k, seqlen, AF_PREFIX_SUFFIX, result)
-            if cb is not None:
-                containrev.append(cb)
-
-            if builder.rc:
-                prefixfwd = f_blocks.blocks(n + k, AF_PREFIX_PREFIX)
-                suffixrev = r_blocks.blocks(n + k, AF_SUFFIX_SUFFIX)
-                cb = f_contain.get(n + k, seqlen, AF_PREFIX_PREFIX, result)
+                cb = f_contain.get(k, seqlen, AF_SUFFIX_PREFIX, result)
                 if cb is not None:
                     containfwd.append(cb)
-                cb = r_contain.get(n + k, seqlen, AF_SUFFIX_SUFFIX, result)
+                cb = r_contain.get(k, seqlen, AF_PREFIX_SUFFIX, result)
                 if cb is not None:
                     containrev.append(cb)
 
-            suffix_joined, prefix_joined = builder.prepare_lists(
-                seqlen,
-                suffixfwd,
-                suffixrev,
-                prefixfwd,
-                prefixrev,
-                containfwd,
-                containrev,
-                hit.blocks,
-            )
-            if builder.irreducible:
-                t_s = make_task((k, 0), suffix_joined)
-                t_p = make_task((k, 1), prefix_joined)
-                tasks.extend((t_s, t_p))
-                pending.append((hit, result, t_s, t_p))
-            else:
-                hit.blocks.extend(suffix_joined)
-                hit.blocks.extend(prefix_joined)
-                pending.append((hit, result, None, None))
+                if builder.rc:
+                    prefixfwd = f_blocks.blocks(n + k, AF_PREFIX_PREFIX)
+                    suffixrev = r_blocks.blocks(n + k, AF_SUFFIX_SUFFIX)
+                    cb = f_contain.get(n + k, seqlen, AF_PREFIX_PREFIX, result)
+                    if cb is not None:
+                        containfwd.append(cb)
+                    cb = r_contain.get(n + k, seqlen, AF_SUFFIX_SUFFIX, result)
+                    if cb is not None:
+                        containrev.append(cb)
 
-        if tasks:
-            if _native_extractor(builder) is not None:
-                _run_native(builder, tasks)
-            else:
-                BatchedExtractor(fmi, rfmi).run(tasks)
+                suffix_joined, prefix_joined = builder.prepare_lists(
+                    seqlen,
+                    suffixfwd,
+                    suffixrev,
+                    prefixfwd,
+                    prefixrev,
+                    containfwd,
+                    containrev,
+                    hit.blocks,
+                )
+                if builder.irreducible:
+                    t_s = make_task((k, 0), suffix_joined)
+                    t_p = make_task((k, 1), prefix_joined)
+                    tasks.extend((t_s, t_p))
+                    pending.append((hit, result, t_s, t_p))
+                else:
+                    hit.blocks.extend(suffix_joined)
+                    hit.blocks.extend(prefix_joined)
+                    pending.append((hit, result, None, None))
 
-        for hit, result, t_s, t_p in pending:
-            if t_s is not None:
-                result.aborted |= t_s.failed
-                hit.blocks.extend(t_s.out)
-                result.aborted |= t_p.failed
-                hit.blocks.extend(t_p.out)
-            hit.substring = result.substring
-            yield hit
+            if tasks:
+                if _native_extractor(builder) is not None:
+                    _run_native(builder, tasks)
+                else:
+                    BatchedExtractor(fmi, rfmi).run(tasks)
+
+            for hit, result, t_s, t_p in pending:
+                if t_s is not None:
+                    result.aborted |= t_s.failed
+                    hit.blocks.extend(t_s.out)
+                    result.aborted |= t_p.failed
+                    hit.blocks.extend(t_p.out)
+                hit.substring = result.substring
+                yield hit
+
+        # drain the native pipeline tail
+        for s0, c0, fut in pending_native:
+            outs, substr, _failed = fut.result()
+            for k in range(len(c0)):
+                yield _LazyHit(s0 + k, bool(substr[k]), outs[k])
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
 
 class _LazyHit(Hit):
