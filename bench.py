@@ -46,7 +46,9 @@ def _platform() -> str:
         return "unknown"
 
 
-def simulate_reads(num_reads=10_000, readlen=100, genome_size=200_000, seed=7):
+def simulate_reads(num_reads=10_000, readlen=100, genome_size=None, seed=7):
+    if genome_size is None:
+        genome_size = 20 * num_reads  # constant 5x coverage at 100bp
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, genome_size, dtype=np.int8)
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -156,7 +158,9 @@ def _stage_breakdown(builder, records, min_overlap):
 
 
 def main():
-    num_reads = int(os.environ.get("BENCH_READS", "10000"))
+    # 50k reads (5x coverage of a 1Mb genome): large enough to amortize the
+    # dev tunnel's ~75ms round-trip latency, which dominates 10k-read runs.
+    num_reads = int(os.environ.get("BENCH_READS", "50000"))
     readlen = int(os.environ.get("BENCH_READLEN", "100"))
     min_overlap = int(os.environ.get("BENCH_MIN_OVERLAP", "45"))
 
@@ -227,14 +231,19 @@ def main():
         cmd_sec = time.time() - t0
         cmd_rps = num_reads / cmd_sec
 
-    # gather-bandwidth roofline for the device scan alone
+    # gather-ISSUE roofline for the device scan alone.  The scan is
+    # gather-issue bound, not bandwidth bound: a row gather costs ~4 cycles
+    # per row regardless of width, so the meaningful roofline is rows/s
+    # against the measured ~0.25 Grow/s device ceiling.  The pair engine
+    # gathers 2 rows (228B) per lane-SUPERstep (2 symbols).
     lanes_per_read = 4  # ID/RC lanes on fwd index, REV/COMP on rev index
     maxlen16 = -(-readlen // 16) * 16
-    occ_bytes = (
-        2 * 64.0 * lanes_per_read * num_reads * (maxlen16 - 1)
-    )  # 2 row-gathers/lane-step, 16 int32 per fused occ row
+    supersteps = maxlen16 // 2
+    rows = 2.0 * lanes_per_read * num_reads * supersteps
+    occ_bytes = rows * 228.0
     scan_sec = max(stages.get("scan", 0.0), 1e-9)
     occ_gbps = occ_bytes / scan_sec / 1e9
+    grows_per_sec = rows / scan_sec / 1e9
 
     print(
         json.dumps(
@@ -257,6 +266,8 @@ def main():
                     ),
                     "occ_gather_gbps": round(occ_gbps, 1),
                     "hbm_frac": round(occ_gbps / HBM_PEAK_GBPS, 3),
+                    "occ_grows_per_sec": round(grows_per_sec, 3),
+                    "gather_issue_frac": round(grows_per_sec / 0.25, 3),
                     "stages_sec": stages,
                     "device_platform": _platform(),
                     "native_threads": os.cpu_count(),

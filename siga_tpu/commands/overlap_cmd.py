@@ -19,6 +19,27 @@ from ..io import asqg, fastx, sai as sai_mod
 from ..overlap.builder import BatchHitConverter, Hit, HitConverter, OverlapBuilder
 
 
+def format_vertex_record(rec: fastx.DNASeq, substring: bool) -> str:
+    """Fast path of write_vertex_record for comment-less reads (the common
+    case); byte-identical to VertexRecord.format."""
+    if rec.comment:
+        record = asqg.VertexRecord(
+            id=rec.name, seq=rec.seq, substring=1 if substring else 0
+        )
+        for token in rec.comment.split(" "):
+            for tag, attr in (
+                (asqg.BARCODE_TAG, "barcode"),
+                (asqg.COVERAGE_TAG, "coverage"),
+                (asqg.EXTENSION_TAG, "ext"),
+            ):
+                if token.startswith(tag):
+                    kv = asqg.parse_tag(token)
+                    if kv:
+                        setattr(record, attr, kv[1])
+        return record.format()
+    return f"VT\t{rec.name}\t{rec.seq}\tSS:i:{1 if substring else 0}"
+
+
 def write_vertex_record(out, rec: fastx.DNASeq, substring: bool) -> None:
     record = asqg.VertexRecord(id=rec.name, seq=rec.seq, substring=1 if substring else 0)
     if rec.comment:
@@ -145,6 +166,7 @@ def build_overlaps(
                 hit_files[idx % len(hit_files)].write(blob[offs[i] : offs[i + 1]])
         pend.clear()
 
+    vt_buf: list = []
     try:
         for idx, (rec, hit) in enumerate(zip(records, hits_iter)):
             arr = getattr(hit, "_array", None)
@@ -158,13 +180,19 @@ def build_overlaps(
                 hit_files[idx % len(hit_files)].write(
                     (hit.serialize() + "\n").encode()
                 )
-            write_vertex_record(out, rec, hit.substring)
+            vt_buf.append(format_vertex_record(rec, hit.substring))
+            if len(vt_buf) >= 4096:
+                out.write("\n".join(vt_buf) + "\n")
+                vt_buf.clear()
             if in_mem is not None:
                 in_mem.append((hit.idx, arr))
                 mem_blocks += len(arr)
                 if mem_blocks > MEM_BLOCK_BUDGET:
                     in_mem = None  # too big: fall back to re-reading hits
         flush_hits()
+        if vt_buf:
+            out.write("\n".join(vt_buf) + "\n")
+            vt_buf.clear()
     finally:
         for f in hit_files:
             f.close()

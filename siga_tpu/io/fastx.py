@@ -224,6 +224,37 @@ def _fast_fastq_bulk(text: str, with_quality: bool, with_comment: bool):
     return out
 
 
+def _fast_fasta_bulk(text: str, with_comment: bool):
+    """Bulk 2-line FASTA parse; None when the file needs the general reader
+    (multi-line sequences, CR line ends, padded lines)."""
+    if "\r" in text[:4096]:
+        return None
+    lines = text.split("\n")
+    while lines and not lines[-1]:
+        lines.pop()
+    if len(lines) % 2 != 0:
+        return None
+    out = []
+    for i in range(0, len(lines), 2):
+        h, seq = lines[i], lines[i + 1]
+        if (
+            not h.startswith(">")
+            or not seq
+            or seq.startswith(">")
+            or seq[-1].isspace()
+            or h[-1].isspace()
+        ):
+            return None
+        rec = DNASeq()
+        if with_comment:
+            rec.name, rec.comment = split_name(h[1:])
+        else:
+            rec.name = split_name(h[1:])[0]
+        rec.seq = seq
+        out.append(rec)
+    return out
+
+
 def read_sequences(
     path_or_stream,
     with_quality: bool = True,
@@ -237,10 +268,13 @@ def read_sequences(
     pos = stream.tell()
     first = stream.read(1)
     stream.seek(pos)
-    if first == "@":
+    if first in ("@", ">"):
         # fast path: read everything, split on record boundaries
         text = stream.read()
-        out = _fast_fastq_bulk(text, with_quality, with_comment)
+        if first == "@":
+            out = _fast_fastq_bulk(text, with_quality, with_comment)
+        else:
+            out = _fast_fasta_bulk(text, with_comment)
         if out is not None:
             return out
         import io as _io

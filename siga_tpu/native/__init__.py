@@ -50,6 +50,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.siga_extract_irreducible.restype = ctypes.c_int64
                 lib.siga_process_chunk.restype = ctypes.c_int64
                 lib.siga_format_hits.restype = ctypes.c_int64
+                lib.siga_pack_planes.restype = None
                 _lib = lib
             except Exception:
                 _lib = None
@@ -74,36 +75,25 @@ OCC_SAMPLE = 64  # symbols per checkpoint block, must match extractor.cpp
 def pack_index_planes(index):
     """Pack an FMIndex into the C++ occ planes: 2-bit symbol words ('$'
     aliases A), '$' bitmask words, cumulative checkpoint counts every
-    OCC_SAMPLE symbols, predecessor counts."""
-    codes = index.codes
+    OCC_SAMPLE symbols, predecessor counts.  The packing itself runs in C++
+    (siga_pack_planes) — the numpy version cost ~0.5 s / 10 Mchar on the
+    `siga overlap` load path."""
+    codes = np.ascontiguousarray(index.codes, dtype=np.uint8)
     n = codes.size
     nblocks = n // OCC_SAMPLE + 1
-    padded = np.zeros(nblocks * OCC_SAMPLE, dtype=np.uint8)
-    padded[:n] = codes
-    sym = padded.reshape(nblocks, OCC_SAMPLE).astype(np.uint64)
-    two_bit = np.where(sym == 0, np.uint64(0), sym - 1)
-    offs = np.arange(OCC_SAMPLE, dtype=np.uint64)
-    shifts = np.uint64(2) * (offs % np.uint64(32))
-    shifted = two_bit << shifts[None, :]
-    words = np.bitwise_or.reduce(shifted.reshape(nblocks, 2, 32), axis=2)
-    dbit = (sym == 0).astype(np.uint64) << offs[None, :]
-    dollars = np.bitwise_or.reduce(dbit, axis=1)
-    # cumulative counts at block starts: one bincount over (block, symbol)
-    # keys + a cumsum over blocks (an n x 5 one-hot cumsum is ~OCC_SAMPLE x
-    # more memory traffic)
-    ckpt = np.zeros((nblocks, 5), dtype=np.int64)
-    if n:
-        key = (np.arange(n, dtype=np.int64) // OCC_SAMPLE) * 5 + codes
-        per_block = np.bincount(key, minlength=nblocks * 5).reshape(nblocks, 5)
-        ckpt[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)
-    pred = np.ascontiguousarray(index.pred.astype(np.int64))
-    return (
-        np.ascontiguousarray(words.reshape(-1)),
-        np.ascontiguousarray(dollars),
-        np.ascontiguousarray(ckpt.reshape(-1)),
-        pred,
-        n,
+    words = np.empty(nblocks * 2, dtype=np.uint64)
+    dollars = np.empty(nblocks, dtype=np.uint64)
+    ckpt = np.empty(nblocks * 5, dtype=np.int64)
+    lib = get_lib()
+    lib.siga_pack_planes(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        _u64(words),
+        _u64(dollars),
+        _i64(ckpt),
     )
+    pred = np.ascontiguousarray(index.pred.astype(np.int64))
+    return (words, dollars, ckpt, pred, n)
 
 
 def _index_args(planes):

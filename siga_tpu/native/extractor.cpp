@@ -703,4 +703,109 @@ int64_t siga_format_hits(
   return (int64_t)(p - out);
 }
 
+// Build the native occ planes from raw BWT rank codes in one pass
+// (replaces a ~0.5 s/10Mchar numpy packing on the `siga overlap` path).
+// words: u64[nblocks*2], dollars: u64[nblocks], ckpt: i64[nblocks*5].
+void siga_pack_planes(const uint8_t* codes, int64_t n, uint64_t* words,
+                      uint64_t* dollars, int64_t* ckpt) {
+  const int64_t nblocks = n / OCC_SAMPLE + 1;
+  int64_t running[5] = {0, 0, 0, 0, 0};
+  for (int64_t b = 0; b < nblocks; ++b) {
+    for (int c = 0; c < 5; ++c) ckpt[b * 5 + c] = running[c];
+    uint64_t w0 = 0, w1 = 0, d = 0;
+    const int64_t base = b * OCC_SAMPLE;
+    const int64_t lim = std::min(n - base, OCC_SAMPLE);
+    for (int64_t j = 0; j < lim; ++j) {
+      const uint8_t s = codes[base + j];
+      ++running[s];
+      const uint64_t two = s == 0 ? 0 : (uint64_t)(s - 1);
+      if (j < 32) w0 |= two << (2 * j);
+      else        w1 |= two << (2 * (j - 32));
+      if (s == 0) d |= 1ULL << j;
+    }
+    words[b * 2] = w0;
+    words[b * 2 + 1] = w1;
+    dollars[b] = d;
+  }
+}
+
+// Build the pair-step device plane (ops/fm_device.py layout: 8 cur-symbol
+// u32 words | 8 prev words | 8 cur-'$' even-bit words | 8 prev-'$' words |
+// 25 exclusive pair checkpoints) for sample=128 blocks, plus the K table
+// K[c2][c1] = C(c2) + occ_{c2}(C(c1)-1).  One LF pass + one block pass —
+// the numpy version cost ~0.3 s / 10 Mchar on the overlap load path.
+// plane: i32[nblocks*57]; K: i64[25].  nblocks = n/128 + 1.
+void siga_pack_pair_plane(const uint8_t* codes, int64_t n, int32_t* plane,
+                          int64_t* K) {
+  constexpr int64_t S = 128;
+  constexpr int COLS = 57;
+  const int64_t nblocks = n / S + 1;
+  int64_t totals[5] = {0, 0, 0, 0, 0};
+  for (int64_t i = 0; i < n; ++i) ++totals[codes[i]];
+  int64_t pred[5], cursor[5];
+  pred[0] = 0;
+  for (int c = 1; c < 5; ++c) pred[c] = pred[c - 1] + totals[c - 1];
+  for (int c = 0; c < 5; ++c) cursor[c] = pred[c];
+  // prev[r] = codes[LF(r)] via counting cursors ('$' rows never queried)
+  std::vector<uint8_t> prev(n);
+  {
+    std::vector<int64_t> lf(n);
+    for (int64_t i = 0; i < n; ++i) lf[i] = cursor[codes[i]]++;
+    for (int64_t i = 0; i < n; ++i)
+      prev[i] = codes[i] == 0 ? 0 : codes[lf[i]];
+  }
+  // K[c2*5+c1] = pred[c2] + occ_{c2}(pred[c1]-1): snapshot running single
+  // counts at the 5 C-boundaries (pred[] is ascending)
+  {
+    int64_t run[5] = {0, 0, 0, 0, 0};
+    int64_t occ_at[5][5];
+    int bi = 0;
+    for (int64_t i = 0; i <= n; ++i) {
+      while (bi < 5 && pred[bi] == i) {
+        for (int c = 0; c < 5; ++c) occ_at[bi][c] = run[c];
+        ++bi;
+      }
+      if (i < n) ++run[codes[i]];
+    }
+    while (bi < 5) {
+      for (int c = 0; c < 5; ++c) occ_at[bi][c] = run[c];
+      ++bi;
+    }
+    for (int c2 = 0; c2 < 5; ++c2)
+      for (int c1 = 0; c1 < 5; ++c1)
+        K[c2 * 5 + c1] = pred[c2] + occ_at[c1][c2];
+  }
+  int64_t pair_run[25] = {0};
+  for (int64_t b = 0; b < nblocks; ++b) {
+    int32_t* row = plane + b * COLS;
+    for (int p = 0; p < 25; ++p) row[32 + p] = (int32_t)pair_run[p];
+    uint32_t curw[8] = {0}, prevw[8] = {0}, curd[8] = {0}, prevd[8] = {0};
+    const int64_t base = b * S;
+    const int64_t lim = std::min(n - base, S);
+    for (int64_t j = 0; j < lim; ++j) {
+      const uint8_t c = codes[base + j];
+      const uint8_t p = prev[base + j];
+      ++pair_run[(int)p * 5 + c];
+      const int w = (int)(j >> 4);
+      const int sh = 2 * ((int)j & 15);
+      curw[w] |= (uint32_t)(c == 0 ? 0 : c - 1) << sh;
+      prevw[w] |= (uint32_t)(p == 0 ? 0 : p - 1) << sh;
+      if (c == 0) curd[w] |= 1u << sh;
+      if (p == 0) prevd[w] |= 1u << sh;
+    }
+    // pad positions read as '$' (matches the numpy zero-padding; always
+    // masked out by the tail mask at query time)
+    for (int64_t j = std::max<int64_t>(lim, 0); j < S; ++j) {
+      curd[j >> 4] |= 1u << (2 * ((int)j & 15));
+      prevd[j >> 4] |= 1u << (2 * ((int)j & 15));
+    }
+    for (int w = 0; w < 8; ++w) {
+      row[w] = (int32_t)curw[w];
+      row[8 + w] = (int32_t)prevw[w];
+      row[16 + w] = (int32_t)curd[w];
+      row[24 + w] = (int32_t)prevd[w];
+    }
+  }
+}
+
 }  // extern "C"

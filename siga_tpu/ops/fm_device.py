@@ -141,11 +141,30 @@ class DeviceFM:
         codes = self._host_codes_u8
         n = codes.size
         nblocks = self.nblocks
-        # LF mapping via stable counting order: row r's LF is its rank in
-        # the (symbol, position) sort.
-        st = np.argsort(codes, kind="stable")
+        if sample == 128:
+            from .. import native as native_mod
+
+            if native_mod.available():
+                plane = np.empty((nblocks, PAIR_COLS), dtype=np.int32)
+                K = np.empty(25, dtype=np.int64)
+                import ctypes
+
+                lib = native_mod.get_lib()
+                lib.siga_pack_pair_plane.restype = None
+                lib.siga_pack_pair_plane(
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.c_int64(n),
+                    plane.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    K.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+                return plane, K.reshape(5, 5)
+        # LF mapping via counting sort (O(n), beats argsort ~4x at 10Mchar):
+        # row r's LF is pred[codes[r]] + its occurrence ordinal.
+        pred64 = self._host_pred
         lf = np.empty(n, dtype=np.int64)
-        lf[st] = np.arange(n, dtype=np.int64)
+        for c in range(5):
+            pos_c = np.flatnonzero(codes == c)
+            lf[pos_c] = pred64[c] + np.arange(pos_c.size, dtype=np.int64)
         prev = codes[lf]
         prev[codes == 0] = 0  # cur='$' rows are never queried by pair
         padded_prev = np.zeros(nblocks * sample, dtype=np.uint8)

@@ -657,19 +657,25 @@ class BatchHitConverter(HitConverter):
         keep &= ~(np.less(qname, tname) | (contained & qr))
 
         idx = np.flatnonzero(keep)
-        lines = []
-        for k in idx.tolist():
-            o = olen[k]
-            ql, tl = int(qlen[k]), int(tlen[k])
-            afk = int(a[k])
-            s1, e1 = ql - o, ql - 1
-            if afk & (1 << QUERYREV_BIT):
-                s1, e1 = ql - e1 - 1, ql - s1 - 1
-            s2, e2 = 0, o - 1
-            if afk & (1 << TARGETREV_BIT):
-                s2, e2 = tl - e2 - 1, tl - s2 - 1
-            rc = 1 if afk & (1 << QUERYCOMP_BIT) else 0
-            lines.append(
-                f"ED\t{qname[k]} {tname[k]} {s1} {e1} {ql} {s2} {e2} {tl} {rc} 0"
+        # fully vectorized coordinate math; only the final text assembly is
+        # a Python loop over plain lists (scalar numpy indexing per field
+        # was ~4x slower)
+        o = olen[idx]
+        ql = qlen[idx]
+        tl = tlen[idx]
+        afk = a[idx]
+        qrm = (afk >> QUERYREV_BIT) & 1 == 1
+        s1 = np.where(qrm, 0, ql - o)
+        e1 = np.where(qrm, o - 1, ql - 1)
+        trm = (afk >> TARGETREV_BIT) & 1 == 1
+        s2 = np.where(trm, tl - o, 0)
+        e2 = np.where(trm, tl - 1, o - 1)
+        rc = (afk >> QUERYCOMP_BIT) & 1
+        return [
+            f"ED\t{qn} {tn} {a1} {b1} {c1} {a2} {b2} {c2} {r} 0"
+            for qn, tn, a1, b1, c1, a2, b2, c2, r in zip(
+                qname[idx].tolist(), tname[idx].tolist(),
+                s1.tolist(), e1.tolist(), ql.tolist(),
+                s2.tolist(), e2.tolist(), tl.tolist(), rc.tolist(),
             )
-        return lines
+        ]
