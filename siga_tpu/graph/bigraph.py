@@ -104,7 +104,10 @@ class Edge:
 
 
 class Vertex:
-    __slots__ = ("id", "seq", "color", "contained", "coverage", "index_tbl", "ext", "edges")
+    __slots__ = (
+        "id", "_parts", "_len", "color", "contained", "coverage",
+        "index_tbl", "ext", "edges",
+    )
 
     def __init__(
         self,
@@ -133,6 +136,24 @@ class Vertex:
                 self.index_tbl.append((barcode, c))
         self.ext: List[str] = [e for e in ext.split(",") if e] if ext else []
         self.edges: List[Edge] = []
+
+    # The sequence is a lazily-joined rope: `merge` appends/prepends label
+    # parts without materializing, so an n-merge chain costs O(final length)
+    # instead of the O(length^2) of repeated str concatenation — the main
+    # scaling wall of the reference's simplify (src/bigraph.cpp:341-414).
+    @property
+    def seq(self) -> str:
+        if len(self._parts) > 1:
+            self._parts = ["".join(self._parts)]
+        return self._parts[0] if self._parts else ""
+
+    @seq.setter
+    def seq(self, value: str) -> None:
+        self._parts = [value]
+        self._len = len(value)
+
+    def seqlen(self) -> int:
+        return self._len
 
     def index_str(self) -> str:
         # multimap iteration order: sorted by barcode, insertion order within
@@ -168,15 +189,17 @@ class Vertex:
 
     def merge(self, edge: Edge) -> None:
         """Concatenate the edge label into this vertex and restretch incident
-        edge coordinates (src/bigraph.cpp:131-202)."""
+        edge coordinates (src/bigraph.cpp:131-202).  The label lands in the
+        rope parts list — no quadratic re-concatenation along chains."""
         twin = edge.twin
         label = edge.label()
         prepend = False
         if edge.dir == ED_SENSE:
-            self.seq = self.seq + label
+            self._parts.append(label)
         else:
-            self.seq = label + self.seq
+            self._parts.insert(0, label)
             prepend = True
+        self._len += len(label)
 
         self.coverage += edge.end.coverage
         self.index_tbl.extend(edge.end.index_tbl)
@@ -189,7 +212,7 @@ class Vertex:
         twin.coord.extend(len(label))
 
         for e in self.edges:
-            e.coord.seqlen = len(self.seq)
+            e.coord.seqlen = self._len
             if prepend and e.dir == ED_SENSE and e is not edge:
                 e.coord.offset(len(label))
 
@@ -271,19 +294,27 @@ class Bigraph:
             for v in list(self.vertices.values()):
                 if v.id not in self.vertices:
                     continue
-                edges = v.edges_dir(dir)
-                if len(edges) == 1 and not edges[0].is_self():
+                # absorb the whole dir-ward unbranched chain from v in one
+                # inner walk: the chain head absorbs everything either way
+                # (the sweep version pairs in O(log k) rounds, same final
+                # graph), but walking here keeps each label O(1) work
+                while True:
+                    edges = v.edges_dir(dir)
+                    if len(edges) != 1 or edges[0].is_self():
+                        break
                     single = edges[0]
                     twin = single.twin
                     end = single.end
-                    if end.degrees(twin.dir) == 1:
-                        if (
-                            not single.coord.is_contained()
-                            and not twin.coord.is_contained()
-                        ):
-                            self.merge(v, single)
-                            self.remove_vertex(end)
-                            changed = True
+                    if end.degrees(twin.dir) != 1:
+                        break
+                    if (
+                        single.coord.is_contained()
+                        or twin.coord.is_contained()
+                    ):
+                        break
+                    self.merge(v, single)
+                    self.remove_vertex(end)
+                    changed = True
 
     def validate(self) -> None:
         for v in self.vertices.values():
