@@ -72,19 +72,17 @@ def build_overlaps(
     num_processes: int = 1,
     merge_only: bool = False,
 ) -> bool:
-    records = fastx.read_sequences(input_path)
-    names = [r.name for r in records]
-    lengths = [len(r.seq) for r in records]
-
     if process_id is not None and not merge_only:
         # multi-host worker (BASELINE config 5): index replicated in this
-        # process, reads sharded round-robin; writes exactly the hits shard
-        # a single-process `-t N` run would write for this residue class.
+        # process, reads sharded round-robin; only this process's residue
+        # class is materialized (read_sequences_strided), and it writes
+        # exactly the hits shard a single-process `-t N` run would write.
         fmi = FMIndex.load(prefix + BWT_EXT)
         rfmi = FMIndex.load(prefix + RBWT_EXT)
         builder = OverlapBuilder(fmi, rfmi, prefix, irreducible=irreducible, rc=rc)
-        subset = records[process_id::num_processes]
-        gidx = list(range(process_id, len(records), num_processes))
+        subset, gidx = fastx.read_sequences_strided(
+            input_path, process_id, num_processes
+        )
         shard_path = f"{prefix}-thread{process_id}{HITS_EXT}{GZIP_EXT}"
         from .. import native as native_mod
         from ..ops.search import _blocks_to_array, batch_overlap_hits
@@ -113,6 +111,10 @@ def build_overlaps(
 
         barrier("overlap-hits")
         return True
+
+    records = fastx.read_sequences(input_path)
+    names = [r.name for r in records]
+    lengths = [len(r.seq) for r in records]
 
     if merge_only:
         return _merge_hits(

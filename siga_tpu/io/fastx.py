@@ -255,6 +255,56 @@ def _fast_fasta_bulk(text: str, with_comment: bool):
     return out
 
 
+def read_sequences_strided(
+    path: str, offset: int, stride: int
+) -> Tuple[List[DNASeq], List[int]]:
+    """Parse only records offset, offset+stride, ... of a FASTA/FASTQ file.
+
+    The multi-host worker path (BASELINE config 5): each process materializes
+    just its residue class instead of every record.  Returns (records,
+    global_indices).  Falls back to full parse + slice when the fast bulk
+    layout does not hold."""
+    with xopen(path, "rt") as stream:
+        first = stream.read(1)
+        stream.seek(0)
+        text = stream.read()
+    lines = text.split("\n")
+    while lines and not lines[-1]:
+        lines.pop()
+    per = 4 if first == "@" else 2
+    ok = (
+        "\r" not in text[:4096]
+        and len(lines) % per == 0
+        and all(
+            lines[i].startswith("@" if per == 4 else ">")
+            for i in range(0, min(len(lines), 64 * per), per)
+        )
+    )
+    if ok:
+        out: List[DNASeq] = []
+        gidx: List[int] = []
+        n_rec = len(lines) // per
+        for r in range(offset, n_rec, stride):
+            h = lines[r * per]
+            seq = lines[r * per + 1]
+            if not h.startswith("@" if per == 4 else ">") or seq.startswith(
+                (">", "@")
+            ):
+                ok = False
+                break
+            rec = DNASeq()
+            rec.name, rec.comment = split_name(h[1:])
+            rec.seq = seq
+            if per == 4:
+                rec.quality = lines[r * per + 3]
+            out.append(rec)
+            gidx.append(r)
+        if ok:
+            return out, gidx
+    records = read_sequences(path)
+    return records[offset::stride], list(range(offset, len(records), stride))
+
+
 def read_sequences(
     path_or_stream,
     with_quality: bool = True,
