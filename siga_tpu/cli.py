@@ -356,6 +356,11 @@ def main(argv: List[str] = None) -> int:
         return 1
     opts, args = parse_options(command, argv[1:])
 
+    # log4cxx-style logging config (reference src/main.cpp:56-61)
+    from .core import logconf
+
+    logconf.configure(opts.get("log4cxx"))
+
     if command == "preprocess":
         from .commands import preprocess as mod
     elif command == "index":

@@ -70,6 +70,27 @@ class FMIndex:
         codes, num_strings, _num_suffixes = bwtio.load_bwt(path)
         return cls(codes, num_strings)
 
+    def info(self) -> None:
+        """Memory/shape dump (reference FMIndex::info,
+        src/fmindex.cpp:163-173); RLE run count derived from the codes."""
+        from ..core.logconf import get_logger
+
+        log = get_logger("FMIndex")
+        n = self.length
+        runs = 1 + int(np.count_nonzero(self.codes[1:] != self.codes[:-1])) if n else 0
+        # our runs are unbounded; the on-disk RLE splits at 31 (RLUnit)
+        log.info("fm-index info:")
+        log.info("occ sample rate: %d", SAMPLE)
+        log.info(
+            "contains %d symbols in %d runs (%.4f symbols per run)",
+            n, runs, (n / runs) if runs else 0.0,
+        )
+        log.info(
+            "checkpoint memory: %d blocks x %d counts (%.1f KB)",
+            self.checkpoints.shape[0], self.checkpoints.shape[1],
+            self.checkpoints.nbytes / 1024.0,
+        )
+
     # ---- occ primitives (batched over arrays of positions) ----
 
     def occ_all(self, i) -> np.ndarray:
