@@ -71,6 +71,99 @@ def _initial_ranks(codes: np.ndarray) -> np.ndarray:
     return np.where(is_sent, sent_idx, (s - 1) + codes.astype(np.int64))
 
 
+def suffix_array_host(codes: np.ndarray) -> np.ndarray:
+    """Best host builder: native C++ seed-sort when available, else the
+    numpy seeded build."""
+    from .. import native
+
+    if native.available():
+        return native.build_sa(codes)
+    return suffix_array_numpy_seeded(codes)
+
+
+def suffix_array_numpy_seeded(codes: np.ndarray) -> np.ndarray:
+    """Host gram-seeded suffix sort: the numpy mirror of `_sa_build_v3`.
+
+    One lexsort over (4 x 32-symbol-packed uint32 words, sentinel distance,
+    index) ranks every suffix by its first 64 symbols; suffixes whose
+    sentinel falls inside the gram are fully resolved, so only pure-base
+    64-grams continue into prefix doubling (1 round for <=128bp reads,
+    2 for <=256bp).  This is the build path for texts too large for a
+    single-device program (the E. coli-scale gate: ~116 Mchar indexes) —
+    same order as the device builder and suffix_array_numpy."""
+    n = int(codes.size)
+    if n <= 1:
+        return np.arange(n, dtype=np.int64)
+    rounds = _sa_rounds_v3(_max_span(codes))
+    pos = np.arange(n, dtype=np.int64)
+    sym = codes.astype(np.uint32)
+    two = np.where(sym == 0, 0, sym - 1).astype(np.uint32)
+    n16 = -(-n // 16)
+    two_pad = np.zeros(n16 * 16, dtype=np.uint32)
+    two_pad[:n] = two
+    shifts = (30 - 2 * np.arange(16, dtype=np.uint32))[None, :]
+    w16 = (two_pad.reshape(n16, 16) << shifts).sum(axis=1, dtype=np.uint32)
+    # distance to the suffix's first sentinel, capped at 64
+    sent_pos = np.flatnonzero(codes == 0)
+    prev_s = n + 64
+    # vectorized "next sentinel at or after i": fill by segments
+    nxt_idx = np.zeros(n, dtype=np.int64)
+    nxt_idx[sent_pos] = 1
+    seg = np.cumsum(nxt_idx[::-1])[::-1]  # sentinels remaining at/after i
+    k = len(sent_pos)
+    nxt = np.where(seg > 0, sent_pos[k - seg], prev_s)
+    sentpos = np.minimum(nxt - pos, 64).astype(np.int64)
+
+    keys = []
+    o = (pos & 15).astype(np.uint32)
+    blk = pos // 16
+    for j in range(4):
+        wa = w16[np.minimum(blk + j, n16 - 1)]
+        wb = w16[np.minimum(blk + j + 1, n16 - 1)]
+        w = np.where(o == 0, wa, (wa << (2 * o)) | (wb >> (32 - 2 * o)))
+        vj = np.clip(sentpos - 16 * j, 0, 16).astype(np.uint32)
+        mask = np.where(
+            vj == 0,
+            np.uint32(0),
+            (np.uint32(0xFFFFFFFF) << (32 - 2 * np.minimum(vj, 16))).astype(
+                np.uint32
+            ),
+        )
+        keys.append(w & mask)
+    # lexsort: last key is primary
+    order = np.lexsort((pos, sentpos, keys[3], keys[2], keys[1], keys[0]))
+    k_s = [k[order] for k in keys]
+    sp_s = sentpos[order]
+    changed = sp_s[1:] != sp_s[:-1]
+    for k in k_s:
+        changed = changed | (k[1:] != k[:-1])
+    boundary = np.empty(n, dtype=np.int64)
+    boundary[0] = 0
+    boundary[1:] = (changed | (sp_s[1:] != 64)).astype(np.int64)
+    rank_sorted = np.cumsum(boundary)
+    if rounds == 0:
+        return order
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = rank_sorted
+    h = GRAM3
+    for _ in range(rounds):
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - h] = rank[h:]
+        order = np.lexsort((pos, key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        boundary[0] = 0
+        boundary[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(
+            np.int64
+        )
+        new_rank = np.cumsum(boundary)
+        if new_rank[-1] == n - 1:
+            return order
+        rank[order] = new_rank
+        h *= 2
+    return order
+
+
 def suffix_array_numpy(codes: np.ndarray) -> np.ndarray:
     """Host prefix-doubling suffix array of the sentinel-separated rank text."""
     n = codes.size
@@ -327,15 +420,29 @@ def _device_index_build(texts: List[np.ndarray], starts: np.ndarray, num_strings
     return [(bwt[b], perm[b]) for b in range(len(texts))]
 
 
+def _device_max_chars() -> int:
+    """Largest text a single-device index program handles in this
+    environment.  Above it the remote compile helper for the sort program
+    is OOM-killed (observed at ~25 Mchar through the dev tunnel), and at
+    E. coli scale the host link (~30 MB/s) could not feed a per-round
+    external device sort anyway — the seeded host builder takes over."""
+    import os
+
+    return int(os.environ.get("SIGA_SA_DEVICE_MAX", 20_000_000))
+
+
 def build_index_arrays(
     seqs: Sequence[str], use_device: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Build (bwt_codes, sai_perm, num_strings) for a read set."""
     codes, starts, _lengths = concat_reads(seqs)
-    if use_device:
+    if use_device and codes.size <= _device_max_chars():
         (one,) = _device_index_build([codes], starts, len(seqs))
         return one[0], one[1], len(seqs)
-    sa = suffix_array_numpy(codes)
+    if use_device:
+        sa = suffix_array_host(codes)
+    else:
+        sa = suffix_array_numpy(codes)
     return bwt_from_sa(codes, sa), sai_perm_from_sa(sa, starts), len(seqs)
 
 
@@ -357,9 +464,19 @@ def build_index_arrays_pair(
             bwt_from_sa(rcodes, rsa), sai_perm_from_sa(rsa, starts),
             len(seqs),
         )
-    if codes.size > 48_000_000:
+    dmax = _device_max_chars()
+    if codes.size > dmax:
+        # beyond the single-device program limit: seeded host build
+        sa = suffix_array_host(codes)
+        rsa = suffix_array_host(rcodes)
+        return (
+            bwt_from_sa(codes, sa), sai_perm_from_sa(sa, starts),
+            bwt_from_sa(rcodes, rsa), sai_perm_from_sa(rsa, starts),
+            len(seqs),
+        )
+    if 2 * codes.size > 21_000_000:
         # big texts: build the two orientations sequentially (B=1) so the
-        # sort's peak HBM stays at half the stacked B=2 program's
+        # sort's peak HBM/compile footprint stays at half the stacked B=2
         (f,) = _device_index_build([codes], starts, len(seqs))
         (r,) = _device_index_build([rcodes], starts, len(seqs))
     else:

@@ -51,6 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.siga_process_chunk.restype = ctypes.c_int64
                 lib.siga_format_hits.restype = ctypes.c_int64
                 lib.siga_pack_planes.restype = None
+                lib.siga_build_sa.restype = None
                 _lib = lib
             except Exception:
                 _lib = None
@@ -156,6 +157,22 @@ class NativeExtractor:
             out.append(out_blocks[off : off + k * 10].reshape(k, 10).copy())
             off += k * 10
         return out, out_failed
+
+
+def build_sa(codes: np.ndarray) -> np.ndarray:
+    """Host suffix array over the sentinel-separated rank text (C++
+    seed-sort + tied-group doubling; order identical to the device builder
+    and index/sa.py::suffix_array_numpy)."""
+    lib = get_lib()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty(codes.size, dtype=np.int64)
+    lib.siga_build_sa(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.size),
+        _i64(out),
+    )
+    return out
 
 
 def format_hits(idxs, substring, arrays) -> Tuple[bytes, np.ndarray]:

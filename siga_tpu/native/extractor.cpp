@@ -809,3 +809,138 @@ void siga_pack_pair_plane(const uint8_t* codes, int64_t n, int32_t* plane,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host suffix-array builder for texts beyond the single-device program limit
+// (E. coli-scale indexes).  Same order as the device builder
+// (index/sa.py::_sa_build_v3): rank by the first 64 symbols in one sort
+// ('$'-masked 2-bit packing, sentinel-distance tiebreak, then text position),
+// then global prefix-doubling rounds that only re-sort still-tied groups —
+// at short-read coverage almost everything resolves in the seed, so the
+// doubling rounds touch a tiny fraction of suffixes.
+// ---------------------------------------------------------------------------
+
+#include <parallel/algorithm>
+
+namespace {
+struct SeedRec {
+  uint64_t k0, k1, tail;  // tail = sentpos<<57 | idx
+  bool operator<(const SeedRec& o) const {
+    if (k0 != o.k0) return k0 < o.k0;
+    if (k1 != o.k1) return k1 < o.k1;
+    return tail < o.tail;
+  }
+};
+}  // namespace
+
+extern "C" {
+
+void siga_build_sa(const uint8_t* codes, int64_t n, int64_t* sa_out) {
+  if (n <= 0) return;
+  if (n == 1) { sa_out[0] = 0; return; }
+  const int64_t n16 = (n + 15) / 16;
+  // 16-symbol packed words, big-endian within word ('$' packs as 0)
+  std::vector<uint32_t> w16(n16 + 5, 0);
+  for (int64_t b = 0; b < n16; ++b) {
+    uint32_t w = 0;
+    const int64_t base = b * 16;
+    const int64_t lim = std::min<int64_t>(n - base, 16);
+    for (int64_t j = 0; j < lim; ++j) {
+      const uint8_t c = codes[base + j];
+      w |= (uint32_t)(c == 0 ? 0 : c - 1) << (30 - 2 * j);
+    }
+    w16[b] = w;
+  }
+  // sentinel distance capped at 64
+  std::vector<SeedRec> rec(n);
+  {
+    int64_t next_s = n + 64;
+    for (int64_t i = n - 1; i >= 0; --i) {
+      if (codes[i] == 0) next_s = i;
+      const int64_t sp = std::min<int64_t>(next_s - i, 64);
+      const int64_t blk = i / 16;
+      const uint32_t o = (uint32_t)(i & 15);
+      uint64_t ks[4];
+      for (int j = 0; j < 4; ++j) {
+        const uint32_t wa = w16[blk + j];
+        const uint32_t wb = w16[blk + j + 1];
+        uint32_t w = o == 0 ? wa : ((wa << (2 * o)) | (wb >> (32 - 2 * o)));
+        const int64_t vj = std::max<int64_t>(
+            0, std::min<int64_t>(sp - 16 * j, 16));
+        const uint32_t mask =
+            vj == 0 ? 0u
+                    : (vj == 16 ? 0xFFFFFFFFu
+                                : (0xFFFFFFFFu << (32 - 2 * vj)));
+        ks[j] = w & mask;
+      }
+      rec[i].k0 = (ks[0] << 32) | ks[1];
+      rec[i].k1 = (ks[2] << 32) | ks[3];
+      rec[i].tail = ((uint64_t)sp << 57) | (uint64_t)i;
+    }
+  }
+  __gnu_parallel::sort(rec.begin(), rec.end());
+
+  // seed ranks: run-start position for ties (only sentpos==64 runs can tie)
+  std::vector<int64_t> rank(n);
+  std::vector<std::pair<int64_t, int64_t>> groups;  // unresolved [start, len)
+  {
+    int64_t i = 0;
+    while (i < n) {
+      int64_t j = i + 1;
+      const int64_t sp_i = (int64_t)(rec[i].tail >> 57);
+      if (sp_i == 64) {
+        while (j < n && rec[j].k0 == rec[i].k0 && rec[j].k1 == rec[i].k1 &&
+               (int64_t)(rec[j].tail >> 57) == 64)
+          ++j;
+      }
+      for (int64_t k = i; k < j; ++k)
+        rank[rec[k].tail & ((1ULL << 57) - 1)] = i;
+      if (j - i > 1) groups.emplace_back(i, j - i);
+      i = j;
+    }
+  }
+  std::vector<int64_t> sa(n);
+  for (int64_t i = 0; i < n; ++i) sa[i] = (int64_t)(rec[i].tail & ((1ULL << 57) - 1));
+  rec.clear();
+  rec.shrink_to_fit();
+
+  // global doubling rounds over the still-tied groups only.  Ranks are
+  // frozen for the whole round: each group's keys are computed once, used
+  // for both the sort and the subrun split, and the rank updates are
+  // buffered and applied after every group is processed (an in-place
+  // update would leak refined ranks into later groups' keys mid-round).
+  int64_t h = 64;
+  std::vector<std::pair<int64_t, int64_t>> next_groups;
+  std::vector<std::pair<int64_t, int64_t>> tmp;        // (key2, idx)
+  std::vector<std::pair<int64_t, int64_t>> rank_upd;   // (text idx, rank)
+  while (!groups.empty()) {
+    next_groups.clear();
+    rank_upd.clear();
+    for (const auto& g : groups) {
+      const int64_t s = g.first, len = g.second;
+      tmp.resize(len);
+      for (int64_t k = 0; k < len; ++k) {
+        const int64_t idx = sa[s + k];
+        tmp[k] = {idx + h < n ? rank[idx + h] : -1, idx};
+      }
+      std::sort(tmp.begin(), tmp.end());
+      int64_t k = 0;
+      while (k < len) {
+        int64_t j = k + 1;
+        while (j < len && tmp[j].first == tmp[k].first) ++j;
+        for (int64_t m = k; m < j; ++m) {
+          sa[s + m] = tmp[m].second;
+          rank_upd.emplace_back(tmp[m].second, s + k);
+        }
+        if (j - k > 1) next_groups.emplace_back(s + k, j - k);
+        k = j;
+      }
+    }
+    for (const auto& u : rank_upd) rank[u.first] = u.second;
+    groups.swap(next_groups);
+    h *= 2;
+  }
+  std::memcpy(sa_out, sa.data(), sizeof(int64_t) * n);
+}
+
+}  // extern "C"
