@@ -62,6 +62,13 @@ def main():
     prefix = out.stdout.strip().splitlines()[-1]
     t["generate"] = time.time() - t0
 
+    # Stage layout follows the reference's own working benchmark pipeline
+    # (/root/reference/benchmark/paired_read_siga.sh:65-82 — the shipped
+    # siga-ecoli-miseq.sh references a `filter.pass` file no stage
+    # produces), with the MiSeq recipe's parameters (correction k=41,
+    # min overlap 85, assembly overlap 111, trim 150,
+    # examples/siga-ecoli-miseq.sh:23-37): pe-mode=1 primary assembly,
+    # then contig rmdup + re-overlap + final assembly.
     t["preprocess"] = sh([SIGA, "preprocess", "--pe-mode=1",
                           "--pe-orientation=ff", "--no-primer-check",
                           "-o", "reads.pp.fastq",
@@ -71,14 +78,28 @@ def main():
     t["correct"] = sh([SIGA, "correct", "-k", "41", "-p", "reads.pp",
                        "-o", "reads.ec.fa", "reads.pp.fastq"])
     t["index_ec"] = sh([SIGA, "index", "-p", "reads.ec", "reads.ec.fa"])
-    t["overlap"] = sh([SIGA, "overlap", "-m", "85", "-p", "reads.ec",
-                       "reads.ec.fa"])
-    t["assemble"] = sh([SIGA, "assemble", "-m", "111",
-                        "--min-branch-length", "150", "-p", "primary",
-                        "reads.ec.asqg.gz"])
+    t["overlap"] = sh([SIGA, "overlap", "-m", "85", "--no-opposite-strand",
+                       "-p", "reads.ec", "reads.ec.fa"])
+    t["assemble_pe"] = sh([SIGA, "assemble", "-m", "111", "--pe-mode=1",
+                           "--max-distance=100",
+                           "--min-branch-length", "150", "-p", "primary",
+                           "reads.ec.asqg.gz"])
+    t["index_ctg"] = sh([SIGA, "index", "-p", "primary-contigs",
+                         "primary-contigs.fa"])
+    t["rmdup"] = sh([SIGA, "rmdup", "-p", "primary-contigs",
+                     "primary-contigs.fa"])
+    t["index_rmdup"] = sh([SIGA, "index", "-p", "primary-contigs.rmdup",
+                           "primary-contigs.rmdup.fa"])
+    t["overlap_ctg"] = sh([SIGA, "overlap", "-m", "10",
+                           "--no-opposite-strand",
+                           "-p", "primary-contigs.rmdup",
+                           "primary-contigs.rmdup.fa"])
+    t["assemble_final"] = sh([SIGA, "assemble", "-m", "111", "--pe-mode=0",
+                              "--min-branch-length", "150", "-p", "final",
+                              "primary-contigs.rmdup.asqg.gz"])
 
     n_reads = sum(1 for line in open("reads.ec.fa") if line.startswith(">"))
-    with open("primary-contigs.fa") as f:
+    with open("final-contigs.fa") as f:
         stats = subprocess.run(
             [sys.executable, os.path.join(HERE, "contigs_mapping.py"),
              "300", "ref.fa", "fasta", "unmatched.fa"],

@@ -6,6 +6,12 @@ import os
 try:  # pragma: no cover - depends on jax availability/version
     import jax
 
+    # The container's sitecustomize registers the TPU backend before user
+    # code runs, so the JAX_PLATFORMS env var is already baked; the live
+    # config still works because the platform client is created lazily.
+    if os.environ.get("SIGA_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SIGA_PLATFORM"])
+
     _cache_dir = os.environ.get(
         "SIGA_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
     )

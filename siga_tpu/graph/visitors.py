@@ -290,7 +290,18 @@ class MaximumOverlapVisitor(BigraphVisitor):
         self.t = t
 
     def previsit(self, graph):
-        assert not graph.containment, "graph must not have containments"
+        # The reference asserts !containment here
+        # (src/bigraph_visitors.cpp:412) but ships release (NDEBUG) builds
+        # where the assert is compiled out, and its own example recipe
+        # (examples/siga-ecoli-miseq.sh) reaches this visitor with
+        # containment graphs.  Mirror the release behavior: warn, proceed.
+        if graph.containment:
+            from ..core.logconf import get_logger
+
+            get_logger("MaximumOverlapVisitor").warning(
+                "graph has containments (reference asserts in debug "
+                "builds only); proceeding"
+            )
         graph.visit(EdgeColorVisitor(GC_WHITE, twin=True))
         self.dummys = 0
 
