@@ -40,7 +40,22 @@ def run(opts: dict, arguments: List[str]) -> int:
         and kmer_size <= 64
     )
     engine = str(opts.get("engine", "auto"))
-    if consistent and engine in ("auto", "tpu", "batch"):
+    # big inputs stream: the one-shot window table costs O(total bases)
+    # host memory, the streaming build O(chunk + distinct k-mers)
+    stream = engine == "stream" or (
+        engine in ("auto", "tpu") and len(reads) > 300_000
+    )
+    if consistent and stream:
+        from ..correct.batch import correct_reads_streaming
+
+        corrected = correct_reads_streaming(
+            reads,
+            kmer_size=kmer_size,
+            rounds=int(opts.get("kmer-rounds", 10)),
+            count_offset=int(opts.get("kmer-count-offset", 1)),
+            threshold=int(opts.get("kmer-threshold", 3)),
+        )
+    elif consistent and engine in ("auto", "tpu", "batch"):
         from ..correct.batch import correct_reads_batch
 
         corrected = correct_reads_batch(

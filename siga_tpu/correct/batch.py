@@ -138,6 +138,113 @@ def _solid_bases(
     return np.cumsum(acc[:, :L], axis=1) > 0
 
 
+class MergedWindowTable:
+    """The same k-mer count oracle as WindowCountTable, assembled from
+    pre-aggregated (hi, lo, count) unique-key arrays (the streaming build)."""
+
+    def __init__(self, vhi, vlo, vcounts, k):
+        self.k = k
+        self._hi_vals, hi_rank = np.unique(vhi, return_inverse=True)
+        self._lo_vals, lo_rank = np.unique(vlo, return_inverse=True)
+        self._nlo = len(self._lo_vals)
+        combined = hi_rank.astype(np.int64) * self._nlo + lo_rank
+        order = np.argsort(combined)
+        self._keys = combined[order]
+        self._counts = vcounts[order]
+
+    lookup = WindowCountTable.lookup
+    lookup_windows = WindowCountTable.lookup_windows
+
+
+def build_window_table_streaming(
+    reads: List[DNASeq], k: int, chunk_reads: int = 65536
+) -> MergedWindowTable:
+    """Global k-mer table with O(chunk + distinct-kmers) peak host memory.
+
+    Per chunk: pack windows, aggregate to unique (hi, lo, count) triples;
+    partial tables merge pairwise-balanced, so the live set stays at the
+    distinct-k-mer scale (~genome size + error k-mers) instead of the
+    O(total bases) the one-shot table costs — the reference corrector's
+    own oracle is the FM-index, whose counts these reproduce exactly
+    (src/correct_processor.cpp:116-138)."""
+
+    def aggregate(hi, lo):
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        if hi.size == 0:
+            return hi, lo, np.zeros(0, dtype=np.int64)
+        new = np.empty(hi.size, dtype=bool)
+        new[0] = True
+        new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.append(idx, hi.size))
+        return hi[idx], lo[idx], counts.astype(np.int64)
+
+    def merge(a, b):
+        hi = np.concatenate([a[0], b[0]])
+        lo = np.concatenate([a[1], b[1]])
+        ct = np.concatenate([a[2], b[2]])
+        order = np.lexsort((lo, hi))
+        hi, lo, ct = hi[order], lo[order], ct[order]
+        new = np.empty(hi.size, dtype=bool)
+        new[0] = True
+        new[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        idx = np.flatnonzero(new)
+        agg = np.add.reduceat(ct, idx)
+        return hi[idx], lo[idx], agg
+
+    stack = []
+    for start in range(0, len(reads), chunk_reads):
+        chunk = reads[start : start + chunk_reads]
+        lens = np.fromiter(
+            (len(r.seq) for r in chunk), dtype=np.int64, count=len(chunk)
+        )
+        L = max(int(lens.max()), k)
+        codes = np.zeros((len(chunk), L), dtype=np.uint8)
+        for i, r in enumerate(chunk):
+            codes[i, : lens[i]] = dna.encode(r.seq)
+        W = L - k + 1
+        hi, lo = _window_keys(codes, k)
+        valid = (np.arange(W)[None, :] + k) <= lens[:, None]
+        part = aggregate(hi[valid], lo[valid])
+        stack.append(part)
+        while len(stack) >= 2 and stack[-1][0].size * 2 >= stack[-2][0].size:
+            b = stack.pop()
+            a = stack.pop()
+            stack.append(merge(a, b))
+    if not stack:
+        return MergedWindowTable(
+            np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+            np.zeros(0, np.int64), k,
+        )
+    while len(stack) > 1:
+        b = stack.pop()
+        a = stack.pop()
+        stack.append(merge(a, b))
+    return MergedWindowTable(*stack[0], k)
+
+
+def correct_reads_streaming(
+    reads: List[DNASeq],
+    kmer_size: int = DEFAULT_KMER_SIZE,
+    rounds: int = DEFAULT_ROUNDS,
+    count_offset: int = DEFAULT_COUNT_OFFSET,
+    threshold: int = DEFAULT_THRESHOLD,
+    chunk_reads: int = 65536,
+) -> Iterator[DNASeq]:
+    """Bounded-memory corrector: global streaming k-mer table + chunked
+    correction rounds.  Output identical to correct_reads_batch (the table
+    is the same oracle; per-read correction is independent)."""
+    if not reads:
+        return
+    table = build_window_table_streaming(reads, kmer_size, chunk_reads)
+    for start in range(0, len(reads), chunk_reads):
+        yield from _correct_against_table(
+            reads[start : start + chunk_reads], table, kmer_size, rounds,
+            count_offset, threshold,
+        )
+
+
 def correct_reads_batch(
     reads: List[DNASeq],
     kmer_size: int = DEFAULT_KMER_SIZE,
@@ -149,6 +256,17 @@ def correct_reads_batch(
 
     The count oracle is the read set itself (== the FM-index text of
     `siga correct`'s standard invocation)."""
+    if not reads:
+        return
+    table = None
+    yield from _correct_against_table(
+        reads, table, kmer_size, rounds, count_offset, threshold
+    )
+
+
+def _correct_against_table(
+    reads, table, kmer_size, rounds, count_offset, threshold
+) -> Iterator[DNASeq]:
     k = kmer_size
     R = len(reads)
     if R == 0:
@@ -165,10 +283,16 @@ def correct_reads_batch(
                 - 33
             )
 
-    table = WindowCountTable(codes, lens, k)
     W = L - k + 1
-    counts = table.window_counts.copy()
-    valid_w = table.valid
+    if table is None:
+        table = WindowCountTable(codes, lens, k)
+        counts = table.window_counts.copy()
+        valid_w = table.valid
+    else:
+        valid_w = (np.arange(W)[None, :] + k) <= lens[:, None]
+        hi, lo = _window_keys(codes, k)
+        counts = np.zeros((R, W), dtype=np.int64)
+        counts[valid_w] = table.lookup(hi[valid_w], lo[valid_w])
 
     # per-window min phred -> per-window threshold
     from numpy.lib.stride_tricks import sliding_window_view
