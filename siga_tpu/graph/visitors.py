@@ -271,6 +271,27 @@ class LoopRemoveVisitor(BigraphVisitor):
             graph.remove_vertex(vertex)
 
 
+def _warn_repeat_score_defaults(who: str, n: int, g: int) -> None:
+    """Surface the reference's hardcoded repeat-score constants: when -n/-g
+    are unset, MaximumOverlap/Chimeric score repeats with n=1751447 reads
+    over a g=59128983bp genome (E. coli-ish magic numbers baked into
+    src/bigraph_visitors.cpp:441-450, :107) — silently wrong for other
+    genomes.  Warned once per process per visitor."""
+    if n > 0 and g > 0:
+        return
+    key = f"_warned_{who}"
+    if getattr(_warn_repeat_score_defaults, key, False):
+        return
+    setattr(_warn_repeat_score_defaults, key, True)
+    from ..core.logconf import get_logger
+
+    get_logger(who).warning(
+        "repeat-score constants not set (-n reads / -g genome size): "
+        "falling back to the reference's hardcoded n=1751447, g=59128983 "
+        "(src/bigraph_visitors.cpp:441-450); set them for your genome"
+    )
+
+
 class MaximumOverlapVisitor(BigraphVisitor):
     """Yu Lin's maximum-overlap-graph reduction
     (src/bigraph_visitors.cpp:410-512)."""
@@ -302,6 +323,7 @@ class MaximumOverlapVisitor(BigraphVisitor):
                 "graph has containments (reference asserts in debug "
                 "builds only); proceeding"
             )
+        _warn_repeat_score_defaults("MaximumOverlapVisitor", self.n, self.g)
         graph.visit(EdgeColorVisitor(GC_WHITE, twin=True))
         self.dummys = 0
 
@@ -381,6 +403,7 @@ class ChimericVisitor(BigraphVisitor):
         self.t = t
 
     def previsit(self, graph):
+        _warn_repeat_score_defaults("ChimericVisitor", self.n, self.g)
         self.chimeric = 0
         graph.color(GC_WHITE)
 
@@ -656,6 +679,81 @@ class PairedReadVisitor(BigraphVisitor):
         return linklist
 
     def postvisit(self, graph):
+        import os
+
+        if os.environ.get("SIGA_PAIRED_NATIVE", "1") != "0":
+            from .. import native as native_mod
+
+            if native_mod.available():
+                self._postvisit_native(graph)
+                return
+        self._postvisit_python(graph)
+
+    def _postvisit_native(self, graph):
+        """Native (C++) BFS + link table + confirmation (native/paired.cpp),
+        then the same edge creation / blacken / sweep as the Python path.
+        The Python implementation below is the differential oracle; both
+        produce identical create-edge sequences (tests/test_paired_native)."""
+        import numpy as np
+
+        from .. import native as native_mod
+
+        ids = list(graph.vertices.keys())
+        index = {vid: i for i, vid in enumerate(ids)}
+        nv = len(ids)
+        seqs = [graph.vertices[vid].seq for vid in ids]
+        seq_off = np.zeros(nv + 1, dtype=np.int64)
+        for i, s in enumerate(seqs):
+            seq_off[i + 1] = seq_off[i] + len(s)
+        seq_bytes = np.frombuffer("".join(seqs).encode(), dtype=np.uint8)
+        mate = np.full(nv, -1, dtype=np.int32)
+        for i, vid in enumerate(ids):
+            m = index.get(fastx.pairend_id(vid))
+            if m is not None:
+                mate[i] = m
+        eptr = np.zeros(nv + 1, dtype=np.int64)
+        e_end: List[int] = []
+        e_dir: List[int] = []
+        e_comp: List[int] = []
+        e_dist: List[int] = []
+        e_ext: List[int] = []
+        for i, vid in enumerate(ids):
+            v = graph.vertices[vid]
+            for edge in v.edges:
+                e_end.append(index[edge.end.id])
+                e_dir.append(edge.dir)
+                e_comp.append(edge.comp)
+                coord = edge.coord if edge.dir == ED_SENSE else edge.twin.coord
+                e_dist.append(coord.seqlen - coord.length())
+                if edge.dir == ED_SENSE or edge.comp == EC_REVERSE:
+                    e = edge if edge.dir == ED_SENSE else edge.twin
+                    e_ext.append(1 if e.coord.seqlen > e.coord.length() else 0)
+                else:
+                    e_ext.append(0)
+            eptr[i + 1] = len(e_end)
+        order = np.fromiter(
+            (index[v.id] for v in self._vertices), dtype=np.int32,
+            count=len(self._vertices),
+        )
+        rows = native_mod.paired_links(
+            seq_bytes, seq_off, eptr,
+            np.asarray(e_end, dtype=np.int32),
+            np.asarray(e_dir, dtype=np.uint8),
+            np.asarray(e_comp, dtype=np.uint8),
+            np.asarray(e_dist, dtype=np.int32),
+            np.asarray(e_ext, dtype=np.uint8),
+            mate, order,
+            self.max_distance, self.max_nodes, self.insert_delta,
+        )
+        graph.visit(EdgeColorVisitor(GC_GRAY))
+        for v1, v2, d, dir_, comp in rows.tolist():
+            self._create_edge(
+                graph, ids[v1], ids[v2],
+                search.DistanceAttr(d, dir_, comp), GC_WHITE,
+            )
+        self._blacken_and_sweep(graph)
+
+    def _postvisit_python(self, graph):
         links: Dict[str, Dict[str, search.DistanceAttr]] = {}
 
         def add_link(v1: str, v2: str, e: search.DistanceAttr):
@@ -704,6 +802,9 @@ class PairedReadVisitor(BigraphVisitor):
                 if not confirmed:
                     self._create_edge(graph, v1, vid_j, attr_j, GC_WHITE)
 
+        self._blacken_and_sweep(graph)
+
+    def _blacken_and_sweep(self, graph):
         # blacken non-confirmed edges in directions that have confirmed ones
         class PairedEdgeFilter:
             def __init__(self, color):

@@ -16,7 +16,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libsiga_native.so")
-_SRC = [os.path.join(_DIR, "extractor.cpp")]
+_SRC = [os.path.join(_DIR, "extractor.cpp"), os.path.join(_DIR, "paired.cpp")]
 
 _lock = threading.Lock()
 _lib = None
@@ -52,6 +52,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.siga_format_hits.restype = ctypes.c_int64
                 lib.siga_pack_planes.restype = None
                 lib.siga_build_sa.restype = None
+                lib.siga_paired_links.restype = ctypes.c_int64
+                lib.siga_paired_free.restype = None
                 _lib = lib
             except Exception:
                 _lib = None
@@ -79,13 +81,18 @@ def pack_index_planes(index):
     OCC_SAMPLE symbols, predecessor counts.  The packing itself runs in C++
     (siga_pack_planes) — the numpy version cost ~0.5 s / 10 Mchar on the
     `siga overlap` load path."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable: pack_index_planes requires the C++ "
+            "extractor (callers must gate on native.available())"
+        )
     codes = np.ascontiguousarray(index.codes, dtype=np.uint8)
     n = codes.size
     nblocks = n // OCC_SAMPLE + 1
     words = np.empty(nblocks * 2, dtype=np.uint64)
     dollars = np.empty(nblocks, dtype=np.uint64)
     ckpt = np.empty(nblocks * 5, dtype=np.int64)
-    lib = get_lib()
     lib.siga_pack_planes(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(n),
@@ -292,3 +299,61 @@ class NativeChunkProcessor:
             for i in range(n_reads)
         ]
         return out, out_substring, out_failed
+
+
+def paired_links(
+    seq_bytes: np.ndarray,
+    seq_off: np.ndarray,
+    eptr: np.ndarray,
+    e_end: np.ndarray,
+    e_dir: np.ndarray,
+    e_comp: np.ndarray,
+    e_dist: np.ndarray,
+    e_ext: np.ndarray,
+    mate: np.ndarray,
+    order: np.ndarray,
+    max_distance: int,
+    max_nodes: int,
+    insert_delta: int,
+    threads: int = 0,
+) -> np.ndarray:
+    """Run the native PairedReadVisitor core (paired.cpp).
+
+    Returns (n, 5) int64 confirmed create-edge rows
+    [v1, v2, distance, dir, comp] in the exact order the Python postvisit
+    would create them."""
+    lib = get_lib()
+    assert lib is not None
+    nv = seq_off.size - 1
+    out_ptr = ctypes.POINTER(ctypes.c_int64)()
+
+    def u8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def i32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    n = lib.siga_paired_links(
+        ctypes.c_int64(nv),
+        u8(seq_bytes),
+        _i64(seq_off),
+        _i64(eptr),
+        i32(e_end),
+        u8(e_dir),
+        u8(e_comp),
+        i32(e_dist),
+        u8(e_ext),
+        i32(mate),
+        i32(order),
+        ctypes.c_int64(order.size),
+        ctypes.c_int64(max_distance),
+        ctypes.c_int64(max_nodes),
+        ctypes.c_int64(insert_delta),
+        ctypes.c_int64(threads if threads > 0 else (os.cpu_count() or 2)),
+        ctypes.byref(out_ptr),
+    )
+    try:
+        rows = np.ctypeslib.as_array(out_ptr, shape=(int(n), 5)).copy() if n else np.zeros((0, 5), dtype=np.int64)
+    finally:
+        lib.siga_paired_free(out_ptr)
+    return rows
