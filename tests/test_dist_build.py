@@ -13,6 +13,7 @@ from siga_tpu.index import sa as sa_mod
 from siga_tpu.index.fm import FMIndex
 from siga_tpu.ops.fm_device import DeviceFM, DualScanner
 from siga_tpu.parallel.dist_build import (
+    distributed_bwt_perm,
     distributed_index_arrays,
     distributed_sa,
 )
@@ -50,6 +51,30 @@ def test_distributed_sa_matches_host(mesh, case):
     np.testing.assert_array_equal(
         distributed_sa(codes, mesh), sa_mod.suffix_array_numpy(codes)
     )
+
+
+@pytest.mark.parametrize("case", [(400, 100, 8000, 4), (200, 150, 6000, 5)])
+def test_distributed_bwt_perm_no_sa_gather(mesh, case):
+    """The payload-carried BWT/perm derivation (no host SA gather) must
+    match the host builder's artifacts, including a zero-doubling-rounds
+    text (short reads resolve inside the 64-symbol seed)."""
+    seqs = _reads(*case)
+    seqs = seqs + [seqs[0], seqs[1][5:45]]
+    codes, starts, _ = sa_mod.concat_reads(seqs)
+    sa = sa_mod.suffix_array_numpy(codes)
+    bwt, perm = distributed_bwt_perm(codes, mesh)
+    np.testing.assert_array_equal(bwt, sa_mod.bwt_from_sa(codes, sa))
+    np.testing.assert_array_equal(perm, sa_mod.sai_perm_from_sa(sa, starts))
+
+
+def test_distributed_bwt_perm_seed_only(mesh):
+    """rounds == 0 path: payloads carried through the seed sort itself."""
+    seqs = _reads(300, 40, 3000, 6)
+    codes, starts, _ = sa_mod.concat_reads(seqs)
+    sa = sa_mod.suffix_array_numpy(codes)
+    bwt, perm = distributed_bwt_perm(codes, mesh)
+    np.testing.assert_array_equal(bwt, sa_mod.bwt_from_sa(codes, sa))
+    np.testing.assert_array_equal(perm, sa_mod.sai_perm_from_sa(sa, starts))
 
 
 def test_distributed_build_feeds_sharded_scan(mesh):
