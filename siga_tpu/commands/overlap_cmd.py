@@ -112,15 +112,14 @@ def build_overlaps(
         barrier("overlap-hits")
         return True
 
+    if merge_only:
+        return _merge_hits(
+            input_path, prefix, output_path, min_overlap, shards,
+        )
+
     records = fastx.read_sequences(input_path)
     names = [r.name for r in records]
     lengths = [len(r.seq) for r in records]
-
-    if merge_only:
-        return _merge_hits(
-            input_path, prefix, output_path, min_overlap, records, names,
-            lengths, shards,
-        )
 
     fmi = FMIndex.load(prefix + BWT_EXT)
     rfmi = FMIndex.load(prefix + RBWT_EXT)
@@ -243,46 +242,59 @@ def _flush_shard(f, pend) -> None:
 
 
 def _merge_hits(
-    input_path, prefix, output_path, min_overlap, records, names, lengths,
-    shards,
+    input_path, prefix, output_path, min_overlap, shards,
 ) -> bool:
     """Merge step of the multi-process overlap: re-read the N hits shard
     files and emit the ASQG (header + VT in read order + ED shard-sequential)
-    — byte-identical to a single-process `-t N` run."""
+    — byte-identical to a single-process `-t N` run.
+
+    Streaming (BASELINE config 5 data plane): shards are traversed twice —
+    once for the per-read substring flags (idx + flag only), once batched
+    through the ED converter — and the read set streams through the VT pass
+    (only names/lengths are retained), so merge RSS stays flat in shard
+    count, shard size, and read-set size."""
     hit_paths = [
         f"{prefix}-thread{i}{HITS_EXT}{GZIP_EXT}" for i in range(max(1, shards))
     ]
-    substring = [False] * len(records)
-    shard_items = []
+    substring = bytearray()
     for path in hit_paths:
-        items = []
         with fastx.xopen(path, "rt") as f:
             for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                idx, sub, arr = Hit.parse_array(line)
-                substring[idx] = sub
-                items.append((idx, arr))
-        shard_items.append(items)
+                # flags pass: only the first two tokens matter
+                parts = line.split(" ", 2)
+                if len(parts) >= 2:
+                    idx = int(parts[0])
+                    if idx >= len(substring):
+                        substring.extend(b"\0" * (idx + 1 - len(substring)))
+                    substring[idx] = 1 if parts[1] == "1" else 0
 
     out = fastx.xopen(output_path, "wt")
     header = asqg.HeaderRecord(overlap=min_overlap, containment=1, infile=input_path)
     out.write(header.format() + "\n")
-    for rec, sub in zip(records, substring):
+    names: List[str] = []
+    lengths: List[int] = []
+    for idx, rec in enumerate(fastx.iter_sequences(input_path)):
+        sub = bool(substring[idx]) if idx < len(substring) else False
         write_vertex_record(out, rec, sub)
+        names.append(rec.name)
+        lengths.append(len(rec.seq))
 
     sa_perm, _ = sai_mod.load_sai(prefix + SAI_EXT)
     rsa_perm, _ = sai_mod.load_sai(prefix + RSAI_EXT)
     converter = BatchHitConverter(sa_perm, rsa_perm, names, lengths)
     batch = []
-    for items in shard_items:
-        for item in items:
-            batch.append(item)
-            if len(batch) >= 4096:
-                for ed in converter.convert_lines(batch):
-                    out.write(ed + "\n")
-                batch = []
+    for path in hit_paths:
+        with fastx.xopen(path, "rt") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                idx, _sub, arr = Hit.parse_array(line)
+                batch.append((idx, arr))
+                if len(batch) >= 4096:
+                    for ed in converter.convert_lines(batch):
+                        out.write(ed + "\n")
+                    batch = []
     for ed in converter.convert_lines(batch):
         out.write(ed + "\n")
     out.close()

@@ -378,17 +378,28 @@ def _correct_against_table(
                 si = np.flatnonzero(success)
                 best = np.argmax(qual[si], axis=1)
                 codes[rr[si], b_idx[si]] = _DNA_RANKS[best]
-                # recount the <=k windows covering the corrected base
-                for out_i in si.tolist():
-                    r = rr[out_i]
-                    i = int(b_idx[out_i])
-                    w0 = max(0, i - k + 1)
-                    w1 = min(int(lens[r]) - k, i)
-                    if w1 >= w0:
-                        wins = sliding_window_view(
-                            codes[r, w0 : w1 + k], k
-                        )
-                        counts[r, w0 : w1 + 1] = table.lookup_windows(wins)
+                # batched recount of the <=k windows covering each corrected
+                # base: ONE table lookup for all corrected reads (the
+                # per-read loop cost 38s of 93s at the 1 Mb config)
+                rs = rr[si]
+                bi = b_idx[si]
+                w0 = np.maximum(0, bi - k + 1)
+                w1 = np.minimum(lens[rs] - k, bi)
+                nwin = w1 - w0 + 1
+                keep = nwin > 0
+                if keep.any():
+                    rs2, w02, c2 = rs[keep], w0[keep], nwin[keep]
+                    total = int(c2.sum())
+                    rowrep = np.repeat(rs2, c2)
+                    wstart = (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(c2) - c2, c2)
+                        + np.repeat(w02, c2)
+                    )
+                    wins = codes[
+                        rowrep[:, None], wstart[:, None] + np.arange(k)[None, :]
+                    ]
+                    counts[rowrep, wstart] = table.lookup_windows(wins)
                 corrected_any[rows[si]] = True
                 alive[rows[si]] = False
             # advance the cursor of unsuccessful attempts

@@ -272,13 +272,15 @@ def read_sequences_strided(
     while lines and not lines[-1]:
         lines.pop()
     per = 4 if first == "@" else 2
+    # Validate EVERY record boundary before taking the fast path: a
+    # line-count-preserving misalignment (e.g. wrapped sequences) could
+    # otherwise make workers silently disagree on global record indices.
+    # O(lines) and trivial next to parsing cost.
+    hdr = "@" if per == 4 else ">"
     ok = (
         "\r" not in text[:4096]
         and len(lines) % per == 0
-        and all(
-            lines[i].startswith("@" if per == 4 else ">")
-            for i in range(0, min(len(lines), 64 * per), per)
-        )
+        and all(lines[i].startswith(hdr) for i in range(0, len(lines), per))
     )
     if ok:
         out: List[DNASeq] = []
@@ -341,6 +343,16 @@ def read_sequences(
             rec.comment = ""
         out.append(rec)
     return out
+
+
+def iter_sequences(path: str) -> Iterator[DNASeq]:
+    """Streaming record iterator (constant memory; the bulk loader's
+    counterpart for passes that never need the whole read set at once)."""
+    reader = open_reader(path)
+    try:
+        yield from reader
+    finally:
+        reader._stream.close()
 
 
 def write_sequences(path_or_stream, records: Iterable[DNASeq]) -> None:

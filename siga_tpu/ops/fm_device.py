@@ -228,6 +228,31 @@ class DeviceFM:
             self._pair_K = jnp.asarray(K.astype(np.int32))
         return self._pair_plane, self._pair_K
 
+    def pair_plane_device(self):
+        """Pair plane + K built ON DEVICE from the 4-bit-packed text.
+
+        The host path packs a [nblocks, 57] int32 plane (228 B/block = 1.78
+        B/char) and ships it over the host link; this path ships the text
+        4-bit packed (0.5 B/char — 3.6x fewer link bytes, the dominant cost
+        of `siga overlap` startup on a ~10 MB/s dev tunnel) and derives the
+        LF mapping, prev-symbol words, '$' masks, pair checkpoints, and the
+        K closure matrix in one jitted program.  Bit-identical to
+        pair_plane_host (tests/test_pair_scan.py::test_device_plane_parity).
+        """
+        import jax.numpy as jnp
+
+        assert self.sample == 128, "pair plane is built at sample=128"
+        padded = self._host_padded
+        codes4 = padded[0::2] | (padded[1::2] << 4)
+        plane, K = _build_pair_plane_dev(
+            self.nblocks,
+            self.sample,
+            jnp.asarray(codes4),
+            jnp.int32(self.length),
+            jnp.asarray(self._host_pred.astype(np.int32)),
+        )
+        return plane, K
+
     @property
     def codes(self):
         if self._codes is None:
@@ -645,6 +670,75 @@ _scan_packed_v2 = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))(
 
 PAIR_COLS = 57  # 8 cur + 8 prev + 8 cur$ + 8 prev$ + 25 ckpt (sample=128)
 _LO_BITS = jnp.uint32(0x55555555)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _build_pair_plane_dev(nblocks, sample, codes4, n_real, pred):
+    """Device pair-plane construction: codes4 uint8 [nblocks*sample/2]
+    (2 rank codes per byte, pad 0 beyond n_real) -> (plane int32
+    [nblocks, 57], K int32 [5, 5]).  Mirrors pair_plane_host bit-for-bit:
+    prev at BWT row r is codes[LF(r)] (0 for '$' rows), masks in even-bit
+    format, 25 exclusive pair checkpoints, K[c2][c1] = C(c2) +
+    occ_{c2}(C(c1)-1)."""
+    n_pad = nblocks * sample
+    lo4 = (codes4 & 0xF).astype(jnp.uint8)
+    hi4 = (codes4 >> 4).astype(jnp.uint8)
+    codes = jnp.stack([lo4, hi4], axis=1).reshape(n_pad).astype(jnp.int32)
+    posn = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = posn < n_real
+
+    # LF via per-symbol exclusive ordinals (pads sit past every real row,
+    # so unmasked cumsums stay correct for real rows)
+    lf = jnp.zeros(n_pad, jnp.int32)
+    for c in range(5):
+        is_c = codes == c
+        ord_c = jnp.cumsum(is_c.astype(jnp.int32)) - is_c
+        lf = jnp.where(is_c, pred[c] + ord_c, lf)
+    prev = codes[jnp.clip(lf, 0, n_pad - 1)]
+    prev = jnp.where((codes == 0) | ~valid, 0, prev)
+
+    shifts16 = (2 * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+
+    def two_bit_words(sym):
+        tb = jnp.where(sym == 0, 0, sym - 1).astype(jnp.uint32)
+        return (
+            tb.reshape(nblocks, sample // 16, 16) << shifts16
+        ).sum(axis=2, dtype=jnp.uint32)
+
+    def dollar_even_words(sym):
+        db = (sym == 0).astype(jnp.uint32)
+        return (
+            db.reshape(nblocks, sample // 16, 16) << shifts16
+        ).sum(axis=2, dtype=jnp.uint32)
+
+    curw = two_bit_words(codes)
+    prevw = two_bit_words(prev)
+    curd = dollar_even_words(codes)
+    prevd = dollar_even_words(prev)
+
+    key = jnp.where(valid, prev * 5 + codes, 25).reshape(nblocks, sample)
+    per_block = jnp.stack(
+        [(key == k).sum(axis=1, dtype=jnp.int32) for k in range(25)], axis=1
+    )
+    ckpt2 = jnp.cumsum(per_block, axis=0, dtype=jnp.int32) - per_block
+
+    plane = jnp.concatenate(
+        [
+            curw.astype(jnp.int32),
+            prevw.astype(jnp.int32),
+            curd.astype(jnp.int32),
+            prevd.astype(jnp.int32),
+            ckpt2,
+        ],
+        axis=1,
+    )
+    # K[c2][c1] = C(c2) + occ_{c2}(C(c1)-1): 5 singles queries on the plane
+    singles, _ = _pair_occ(
+        plane[pred // sample].T, pred // sample, pred - (pred // sample) * sample,
+        None, False,
+    )  # singles[c2, j] = occ_{c2}(pred[j] - 1)
+    K = pred[:, None] + singles
+    return plane, K.astype(jnp.int32)
 
 
 def _pair_masks(rowsT, want_prev):
@@ -1246,18 +1340,31 @@ class DualScanner:
         # the sharded capacity mode still runs the single-step core
         self.pair = bool(pair_step) and not shard_index
         if self.pair:
-            fp = dfwd._pair_host if getattr(dfwd, "_pair_host", None) else None
-            if fp is None:
-                fp = dfwd._pair_host = dfwd.pair_plane_host()
-            rp = getattr(drev, "_pair_host", None)
-            if rp is None:
-                rp = drev._pair_host = drev.pair_plane_host()
-            plane = jnp.asarray(
-                np.ascontiguousarray(np.concatenate([fp[0], rp[0]], axis=0))
-            )
-            self.K2 = jnp.asarray(
-                np.stack([fp[1], rp[1]]).astype(np.int32)
-            )
+            if os.environ.get("SIGA_PAIR_PLANE", "device") == "host":
+                fp = dfwd._pair_host if getattr(dfwd, "_pair_host", None) else None
+                if fp is None:
+                    fp = dfwd._pair_host = dfwd.pair_plane_host()
+                rp = getattr(drev, "_pair_host", None)
+                if rp is None:
+                    rp = drev._pair_host = drev.pair_plane_host()
+                plane = jnp.asarray(
+                    np.ascontiguousarray(np.concatenate([fp[0], rp[0]], axis=0))
+                )
+                self.K2 = jnp.asarray(
+                    np.stack([fp[1], rp[1]]).astype(np.int32)
+                )
+            else:
+                # build on device from the 4-bit-packed text: 3.6x fewer
+                # host-link bytes than shipping the packed plane (the
+                # dominant `siga overlap` startup cost on the dev tunnel)
+                fp = getattr(dfwd, "_pair_dev", None)
+                if fp is None:
+                    fp = dfwd._pair_dev = dfwd.pair_plane_device()
+                rp = getattr(drev, "_pair_dev", None)
+                if rp is None:
+                    rp = drev._pair_dev = drev.pair_plane_device()
+                plane = jnp.concatenate([fp[0], rp[0]], axis=0)
+                self.K2 = jnp.stack([fp[1], rp[1]])
         else:
             plane = jnp.concatenate([dfwd.occ_plane, drev.occ_plane], axis=0)
         self.pred = dfwd.pred
@@ -1362,8 +1469,12 @@ class DualScanner:
         # scan only as deep as the chunk's real maximum read length (the
         # packed width rounds up to 16 symbols; update steps beyond
         # max(lens)-1 are all-masked).  Bucket to multiples of 8 to bound
-        # the number of compiled shapes.
-        lim_t = min(max_t, -(-(int(lens.max()) - 1) // 8) * 8)
+        # the number of compiled shapes; for long-sequence chunks (contig
+        # re-overlap) the granule widens with maxlen so the distinct
+        # (maxlen, lim_t) shape count stays small (compiles cost minutes on
+        # this backend).
+        g = 8 if maxlen <= 2048 else max(8, maxlen // 16)
+        lim_t = min(max_t, -(-(int(lens.max()) - 1) // g) * g)
         num_lanes = n * (len(self.fwd_groups) + len(self.rev_groups))
         # fcap = lane count: every lane yields at most one candidate, so the
         # candidate compaction can never overflow
@@ -1488,6 +1599,12 @@ class DualScanner:
         lane_counts = np.empty(num_lanes, dtype=np.int64)
         lane_counts[0::2] = lc_pack & 0xFFFF
         lane_counts[1::2] = lc_pack >> 16
+        # The 16-bit lane-count halves have no overflow flag (unlike
+        # size_ovf/cand_ovf); a lane emitting >65535 blocks would silently
+        # corrupt reconstruction.  Unreachable for short reads, so guard it.
+        assert int(lane_counts.sum()) == nblocks, (
+            "pair-scan lane-count overflow: a lane emitted >65535 blocks"
+        )
         if wide:
             data3 = packed[pos : pos + 3 * kb].reshape(3, kb)[:, :nblocks]
             pos += 3 * kb

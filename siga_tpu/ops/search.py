@@ -34,8 +34,17 @@ CHUNK_READS = 16384
 
 def _bucket_len(n_chars: int) -> int:
     """Scan-depth bucket: multiple of 16 (the 2-bit word width), floor 64.
-    Multiples of 16 instead of pow2 so 100bp reads scan 112 steps, not 128."""
-    return max(64, -(-n_chars // 16) * 16)
+    Multiples of 16 instead of pow2 so 100bp reads scan 112 steps, not 128.
+    Above 2048 (contig re-overlap territory) buckets widen to pow2/8 so the
+    number of distinct compiled scan shapes stays bounded — a fresh shape
+    costs minutes of remote compile on this backend, dwarfing the <=12.5%
+    padded scan work."""
+    if n_chars <= 2048:
+        return max(64, -(-n_chars // 16) * 16)
+    step = 256
+    while step * 8 < n_chars:
+        step *= 2
+    return -(-n_chars // step) * step
 
 
 def _bucket_reads(n: int, chunk_reads: int, ndev: int) -> int:

@@ -59,6 +59,41 @@ def test_pair_matches_single_step(scanners, mo):
                 np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_device_plane_parity(scanners):
+    """The on-device pair-plane builder (4-bit text upload) must reproduce
+    the host-packed plane and K matrix bit-for-bit."""
+    _reads_, d1, d2 = scanners
+    for d in (d1, d2):
+        plane_h, K_h = d.pair_plane_host()
+        plane_d, K_d = d.pair_plane_device()
+        np.testing.assert_array_equal(np.asarray(plane_d), plane_h)
+        np.testing.assert_array_equal(np.asarray(K_d), K_h.astype(np.int64))
+
+
+@pytest.mark.parametrize("mo", [20, 70])
+def test_pair_odd_lim_t_phantom_half_step(mo):
+    """Full-length reads (len == maxlen == 80) force lim_t = 79 (odd), so
+    the masked phantom half-step branch of _scan_pair_core actually runs —
+    71bp reads in the shared fixture round lim_t up to 72 (even)."""
+    rng = np.random.default_rng(23)
+    genome = rng.integers(0, 4, 3000)
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    starts = rng.integers(0, 3000 - 80, 96)
+    reads = [alpha[genome[s : s + 80]].tobytes().decode() for s in starts]
+    reads += [reads[0], reads[1][3:77]]
+    fwd, _p, rev, _rp, ns = sa_mod.build_index_arrays_pair(
+        reads, use_device=False
+    )
+    d1, d2 = DeviceFM(FMIndex(fwd, ns)), DeviceFM(FMIndex(rev, ns))
+    s_old = DualScanner(d1, d2, pair_step=False)
+    s_new = DualScanner(d1, d2, pair_step=True)
+    a = _collect(s_old, reads, 80, mo)
+    b = _collect(s_new, reads, 80, mo)
+    for view_a, view_b in zip(a, b):
+        for x, y in zip(view_a, view_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_pair_matches_rmdup_groups(scanners):
     reads, d1, d2 = scanners
     groups = dict(fwd_groups=(GROUP_ID,), rev_groups=(GROUP_COMP,))
