@@ -54,6 +54,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.siga_build_sa.restype = None
                 lib.siga_paired_links.restype = ctypes.c_int64
                 lib.siga_paired_free.restype = None
+                lib.siga_pack_reads_2bit.restype = ctypes.c_int64
                 _lib = lib
             except Exception:
                 _lib = None

@@ -374,3 +374,44 @@ int64_t siga_paired_links(
 void siga_paired_free(int64_t* p) { free(p); }
 
 }  // extern "C"
+
+extern "C" {
+
+// Host-side 2-bit left-aligned read packing (ops/fm_device.py::
+// pack_reads_2bit): ASCII reads -> (n, maxlen/16) int32 words, symbol j in
+// bits [2*(j%16), +2) of word j/16.  Returns -1 if any byte is not ACGT
+// (caller falls back to the checked numpy path for the error message).
+int64_t siga_pack_reads_2bit(const uint8_t* bytes, const int64_t* offsets,
+                             int64_t n_seqs, int64_t n_rows, int64_t maxlen,
+                             int32_t* out_words, int32_t* out_lens) {
+  static int8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) lut[i] = -1;
+    lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+    lut['a'] = 0; lut['c'] = 1; lut['g'] = 2; lut['t'] = 3;
+    init = true;
+  }
+  int64_t w = maxlen / 16;
+  memset(out_words, 0, (size_t)(n_rows * w) * sizeof(int32_t));
+  int64_t bad = 0;
+#pragma omp parallel for schedule(static) reduction(+:bad)
+  for (int64_t i = 0; i < n_rows; ++i) {
+    if (i >= n_seqs) {
+      out_lens[i] = 1;
+      continue;
+    }
+    const uint8_t* s = bytes + offsets[i];
+    int64_t L = offsets[i + 1] - offsets[i];
+    out_lens[i] = (int32_t)(L > 0 ? L : 1);
+    uint32_t* row = (uint32_t*)(out_words + i * w);
+    for (int64_t j = 0; j < L; ++j) {
+      int8_t c = lut[s[j]];
+      if (c < 0) { ++bad; c = 0; }
+      row[j >> 4] |= (uint32_t)c << (2 * (j & 15));
+    }
+  }
+  return bad ? -1 : 0;
+}
+
+}  // extern "C"

@@ -1272,7 +1272,38 @@ def pack_reads_2bit(seqs, n: int, maxlen: int):
 
     Returns (la_words, lens): (n, maxlen//16) int32 packed words (symbol j in
     bits [2j%32, 2j%32+2) of word j//16) and int32 lengths.  Empty/padding
-    rows get length 1 (their lanes never emit)."""
+    rows get length 1 (their lanes never emit).
+
+    The packing runs in C++ when available (siga_pack_reads_2bit) — the
+    numpy shift/sum path cost ~0.3 s per 50k-read engine pass, a material
+    share of the pipelined engine's host budget on a 2-core host."""
+    from .. import native as native_mod
+
+    if native_mod.available():
+        import ctypes
+
+        lib = native_mod.get_lib()
+        joined = "".join(seqs).encode()
+        buf = np.frombuffer(joined, dtype=np.uint8)
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs)),
+            out=offsets[1:],
+        )
+        la_w = np.empty((n, maxlen // 16), dtype=np.int32)
+        lens = np.empty(n, dtype=np.int32)
+        rc = lib.siga_pack_reads_2bit(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(seqs)),
+            ctypes.c_int64(n),
+            ctypes.c_int64(maxlen),
+            la_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return la_w, lens
+        # non-ACGT bytes: fall through for the checked error path
     from ..core import dna
 
     lens = np.ones(n, dtype=np.int32)

@@ -29,7 +29,7 @@ from ..overlap.builder import (
 )
 from .fm_device import DeviceFM, DualScanner
 
-CHUNK_READS = 16384
+CHUNK_READS = int(os.environ.get("SIGA_CHUNK_READS", "16384"))
 
 
 def _bucket_len(n_chars: int) -> int:
@@ -275,6 +275,7 @@ def _batch_overlap_ordered(
     # serializing with it.  One worker keeps chunk results ordered.
     proc0 = _native_chunk_processor(builder)
     executor = None
+    n_workers = int(os.environ.get("SIGA_NATIVE_WORKERS", "1"))
     if (
         proc0 is not None
         and len(starts) > 1
@@ -282,8 +283,11 @@ def _batch_overlap_ordered(
     ):
         from concurrent.futures import ThreadPoolExecutor
 
-        executor = ThreadPoolExecutor(max_workers=1)
+        # >1 worker trades OMP-thread oversubscription for overlap; results
+        # stay ordered because the drain below always waits on the OLDEST
+        executor = ThreadPoolExecutor(max_workers=n_workers)
     pending_native = []  # (start, chunk, future)
+    max_pending = 1 + n_workers
 
     def native_args(chunk, f_view, r_view):
         f_lane, f_t, f_data, f_cl, f_cr, f_sub = f_view
@@ -311,7 +315,7 @@ def _batch_overlap_ordered(
             if proc0 is not None:
                 args = native_args(chunk, f_view, r_view)
                 if executor is not None:
-                    while len(pending_native) >= 2:
+                    while len(pending_native) >= max_pending:
                         s0, c0, fut = pending_native.pop(0)
                         outs, substr, _failed = fut.result()
                         for k in range(len(c0)):
