@@ -242,16 +242,27 @@ class DeviceFM:
         import jax.numpy as jnp
 
         assert self.sample == 128, "pair plane is built at sample=128"
-        padded = self._host_padded
+        # bucket the program shape (pow2 then pow2/8 granules, like
+        # index/sa.py::_pad_size) so differently-sized indexes share the
+        # compiled builder — a fresh shape costs minutes of remote compile
+        # on this backend; the padded tail is masked out and sliced away
+        nb = 8
+        while nb < self.nblocks and nb < 8192:
+            nb *= 2
+        if self.nblocks > nb:
+            step = max(nb // 8, 1)
+            nb = -(-self.nblocks // step) * step
+        padded = np.zeros(nb * self.sample, dtype=np.uint8)
+        padded[: self._host_padded.size] = self._host_padded
         codes4 = padded[0::2] | (padded[1::2] << 4)
         plane, K = _build_pair_plane_dev(
-            self.nblocks,
+            nb,
             self.sample,
             jnp.asarray(codes4),
             jnp.int32(self.length),
             jnp.asarray(self._host_pred.astype(np.int32)),
         )
-        return plane, K
+        return plane[: self.nblocks], K
 
     @property
     def codes(self):
