@@ -225,14 +225,15 @@ def main():
                 f.write(f">r{i}\n{s}\n")
         rc = cli.main(["index", "-p", prefix, prefix + ".fa"])
         assert rc in (0, None)
-        # warm the command path once (compile shapes differ from engine pass
-        # only in the first chunk; cheap)
-        t0 = time.time()
-        rc = cli.main(
-            ["overlap", "-m", str(min_overlap), "-p", prefix, prefix + ".fa"]
-        )
-        assert rc in (0, None)
-        cmd_sec = time.time() - t0
+        # best of 2 warm passes (same noisy-link rationale as the engine)
+        cmd_sec = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            rc = cli.main(
+                ["overlap", "-m", str(min_overlap), "-p", prefix, prefix + ".fa"]
+            )
+            assert rc in (0, None)
+            cmd_sec = min(cmd_sec, time.time() - t0)
         cmd_rps = num_reads / cmd_sec
 
     # gather-ISSUE roofline for the device scan alone.  The scan is

@@ -42,10 +42,46 @@ class DeviceFM:
         self.nblocks = nblocks
         padded = np.zeros(nblocks * sample, dtype=np.uint8)
         padded[:n] = host.codes
-        # 2-bit-packed symbol words + '$' bitmask for popcount occ:
-        # word j of a block covers symbols [16j, 16j+16), little-end first;
-        # '$' packs as 0 (alias of A) and is corrected via the mask plane.
-        sym = padded.reshape(nblocks, sample).astype(np.uint32)
+        # Only the fused occ plane (and the tiny pred) go to HBM eagerly:
+        # one row gather serves symbol words + '$' mask + checkpoint counts.
+        # The separate codes/checkpoints device buffers are lazy — the scan
+        # never reads them, so keeping eager copies would roughly double
+        # FM-table HBM for nothing.  The single-step word/mask/checkpoint
+        # packing is ALSO lazy (_pack_single_step): the default pair-step
+        # path builds its plane on device and never touches it, and the
+        # eager numpy packing cost 0.4 s of `siga overlap` startup.
+        self._host = host
+        self._host_padded = padded
+        self._host_words = None
+        self._host_dollar = None
+        self._host_checkpoints = None
+        self._host_codes_u8 = np.ascontiguousarray(host.codes)
+        self._host_pred = np.asarray(host.pred, dtype=np.int64)
+        self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
+        # Row-major fused plane [nblocks, ncols]: symbol words | '$'-mask
+        # words | ACGT checkpoint counts.  The '$' checkpoint column is NOT
+        # stored — checkpoints are exclusive cumulative counts so the five
+        # symbols always sum to the block start position, and the occ math
+        # derives base_$ = block*sample - sum(base_ACGT).  That keeps ncols
+        # at exactly 16 for sample=128: a 64-byte row, and a per-query
+        # contiguous row gather (plane[idx]) is the fastest gather form on
+        # this hardware.  The popcount math transposes the gathered
+        # [Q, 16] tile once and runs full-width on [*, Q] vectors.
+        self._occ_plane = None
+        self._pair_plane = None
+        self._pair_K = None
+        self._codes = None
+        self._checkpoints = None
+
+    def _pack_single_step(self):
+        """Lazy single-step plane components: 2-bit symbol words + '$'
+        bitmask ('$' packs as 0, corrected via the mask plane) + exclusive
+        checkpoint counts.  Word j of a block covers symbols [16j, 16j+16),
+        little-end first."""
+        if self._host_words is not None:
+            return
+        host, sample, nblocks, n = self._host, self.sample, self.nblocks, self.length
+        sym = self._host_padded.reshape(nblocks, sample).astype(np.uint32)
         two_bit = np.where(sym == 0, 0, sym - 1)  # $->0(A), A..T -> 0..3
         shifts16 = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
         words = (
@@ -69,38 +105,16 @@ class DeviceFM:
                 ckpt[1:] = np.cumsum(per_block[:-1], axis=0, dtype=np.int64)[
                     : nblocks - 1
                 ].astype(np.int32)
-        # Only the fused occ plane (and the tiny pred) go to HBM eagerly:
-        # one row gather serves symbol words + '$' mask + checkpoint counts.
-        # The separate codes/checkpoints device buffers are lazy — the scan
-        # never reads them, so keeping eager copies would roughly double
-        # FM-table HBM for nothing.
-        self._host_padded = padded
         self._host_words = words.view(np.int32)
         self._host_dollar = dollar.view(np.int32)
         self._host_checkpoints = ckpt
-        self._host_codes_u8 = np.ascontiguousarray(host.codes)
-        self._host_pred = np.asarray(host.pred, dtype=np.int64)
-        self.pred = jnp.asarray(host.pred, dtype=jnp.int32)
-        # Row-major fused plane [nblocks, ncols]: symbol words | '$'-mask
-        # words | ACGT checkpoint counts.  The '$' checkpoint column is NOT
-        # stored — checkpoints are exclusive cumulative counts so the five
-        # symbols always sum to the block start position, and the occ math
-        # derives base_$ = block*sample - sum(base_ACGT).  That keeps ncols
-        # at exactly 16 for sample=128: a 64-byte row, and a per-query
-        # contiguous row gather (plane[idx]) is the fastest gather form on
-        # this hardware.  The popcount math transposes the gathered
-        # [Q, 16] tile once and runs full-width on [*, Q] vectors.
-        self._occ_plane = None
-        self._pair_plane = None
-        self._pair_K = None
-        self._codes = None
-        self._checkpoints = None
 
     @property
     def occ_plane(self):
         if self._occ_plane is None:
             import jax.numpy as jnp
 
+            self._pack_single_step()
             self._occ_plane = jnp.asarray(
                 np.ascontiguousarray(
                     np.concatenate(
@@ -275,6 +289,7 @@ class DeviceFM:
     @property
     def checkpoints(self):
         if self._checkpoints is None:
+            self._pack_single_step()
             self._checkpoints = jnp.asarray(self._host_checkpoints)
         return self._checkpoints
 
