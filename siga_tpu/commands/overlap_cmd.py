@@ -222,11 +222,13 @@ def build_overlaps(
     for item in batches():
         batch.append(item)
         if len(batch) >= 4096:
-            for ed in converter.convert_lines(batch):
-                out.write(ed + "\n")
+            eds = converter.convert_lines(batch)
+            if eds:
+                out.write("\n".join(eds) + "\n")
             batch = []
-    for ed in converter.convert_lines(batch):
-        out.write(ed + "\n")
+    eds = converter.convert_lines(batch)
+    if eds:
+        out.write("\n".join(eds) + "\n")
     out.close()
     return True
 
@@ -292,11 +294,13 @@ def _merge_hits(
                 idx, _sub, arr = Hit.parse_array(line)
                 batch.append((idx, arr))
                 if len(batch) >= 4096:
-                    for ed in converter.convert_lines(batch):
-                        out.write(ed + "\n")
+                    eds = converter.convert_lines(batch)
+                    if eds:
+                        out.write("\n".join(eds) + "\n")
                     batch = []
-    for ed in converter.convert_lines(batch):
-        out.write(ed + "\n")
+    eds = converter.convert_lines(batch)
+    if eds:
+        out.write("\n".join(eds) + "\n")
     out.close()
     return True
 
